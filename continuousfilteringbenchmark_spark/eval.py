@@ -1,0 +1,81 @@
+"""Evaluation operators (SURVEY.md §2.6, E1-E5).
+
+PC (Pair Completeness = recall), PQ (Pairs Quality = precision), F1 —
+computed exactly as the reference does
+(``joins/src/joins/TopKSchemaAgnosticJoin.java:177-195``;
+``nnmethods/minhashLSH/src/experiments/schemaAgnostic.java:105-124``):
+candidate pairs joined against gold with canonical (min,max) ordering
+(``nnmethods/scalabilityAnalysis/MH_LSH.py:88-98``).
+
+Also the pairwise-F1-vs-clusters gate: clusters -> implied intra-cluster
+pairs -> PC/PQ/F1 against gold pairs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonical_pairs(pairs: DataFrame, left: str = "left_id", right: str = "right_id") -> DataFrame:
+    """E4: (min,max) ordering + dedup (MH_LSH.py:88-98)."""
+    return (
+        pairs.select(
+            F.least(F.col(left), F.col(right)).alias("left_id"),
+            F.greatest(F.col(left), F.col(right)).alias("right_id"),
+        )
+        .where(F.col("left_id") != F.col("right_id"))
+        .distinct()
+    )
+
+
+@dataclass
+class PairMetrics:
+    true_positives: int
+    candidates: int
+    gold: int
+
+    @property
+    def pc(self) -> float:  # recall
+        return self.true_positives / self.gold if self.gold else 0.0
+
+    @property
+    def pq(self) -> float:  # precision
+        return self.true_positives / self.candidates if self.candidates else 0.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.pq, self.pc
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+
+def evaluate_pairs(candidates: DataFrame, gold: DataFrame) -> PairMetrics:
+    """E1-E3 against a gold pair table (both canonicalized first)."""
+    cand = canonical_pairs(candidates)
+    g = canonical_pairs(gold)
+    tp = cand.join(g, ["left_id", "right_id"], "inner").count()
+    return PairMetrics(true_positives=tp, candidates=cand.count(), gold=g.count())
+
+
+def cluster_pairs(clusters: DataFrame) -> DataFrame:
+    """Implied intra-cluster pairs (left<right) from (doc_id, cluster_id).
+
+    Scale note: quadratic per cluster — ER clusters are small by construction
+    (post-threshold match graphs); a runaway cluster signals a bad threshold,
+    guarded by the purging/salting caps upstream.
+    """
+    a = clusters.select(F.col("cluster_id"), F.col("doc_id").alias("left_id"))
+    b = clusters.select(F.col("cluster_id"), F.col("doc_id").alias("right_id"))
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+
+def evaluate_clusters(clusters: DataFrame, gold_pairs: DataFrame) -> PairMetrics:
+    """Pairwise F1 of a clustering vs gold pairs (the BASELINE.json gate)."""
+    return evaluate_pairs(cluster_pairs(clusters), gold_pairs)

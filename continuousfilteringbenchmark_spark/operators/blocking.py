@@ -1,0 +1,334 @@
+"""Blocking workflow operators (SURVEY.md §2.3, B1-B8).
+
+Pipeline shape (reference wiring:
+``blockingWorkflows/src/blockingWorkflows/schemaAgnostic/TokenBlocking.java:64-83``)::
+
+    block building -> block purging -> block filtering -> comparison cleaning
+
+Internal representation: the exploded **block table**
+``DataFrame(block_key string, side string, doc_id string)`` — one row per
+(block, member). The reference's ``List<AbstractBlock>`` becomes this posting
+table; Spark's shuffle on ``block_key`` *is* the inverted index
+(SURVEY.md §1.4). ``side`` is 'A'/'B' for Clean-Clean ER, a single constant
+for Dirty ER.
+
+Scale notes: block-size stats are tiny aggregates (one row per distinct
+block key / per distinct cardinality) — they broadcast. The only quadratic
+danger is the pair-emission self-join, which purging/filtering bound, plus
+an explicit salted-cap guard in ``pairs_from_blocks`` for residual skew.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import tokenize as tk
+
+# ---------------------------------------------------------------- builders
+
+
+def block_table(docs: DataFrame, keys: Column, side: Column | str = "side") -> DataFrame:
+    """Generic block builder: explode a per-doc key array into the block table."""
+    side_col = F.col(side) if isinstance(side, str) else side
+    return (
+        docs.select(
+            F.col("doc_id"), side_col.alias("side"), F.explode(keys).alias("block_key")
+        )
+        .where(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+        .select("block_key", "side", "doc_id")
+        .distinct()
+    )
+
+
+def standard_blocking(docs: DataFrame, text_col: str = "text", side: str = "side") -> DataFrame:
+    """B1 StandardBlocking / Token Blocking: one block per distinct
+    schema-agnostic token (reference driver
+    ``blockingWorkflows/.../schemaAgnostic/TokenBlocking.java:64-65``)."""
+    return block_table(docs, tk.word_token_set(text_col), side)
+
+
+def qgrams_blocking(docs: DataFrame, q: int = 6, text_col: str = "text", side: str = "side") -> DataFrame:
+    """B2 QGramsBlocking: keys = char q-grams of each token (default q=6,
+    reference ``.../DefaultQGramsBlocks.java:54``)."""
+    return block_table(docs, tk.token_qgrams(tk.word_token_set(text_col), q), side)
+
+
+def suffix_arrays_blocking(
+    docs: DataFrame,
+    min_len: int = 6,
+    max_frequency: int = 53,
+    text_col: str = "text",
+    side: str = "side",
+) -> DataFrame:
+    """B4 SuffixArraysBlocking: keys = suffixes (>= min_len) of tokens; keys
+    occurring in more than ``max_frequency`` docs are dropped (reference
+    ``.../SuffixArrays.java:29-35``; defaults are JedAI's)."""
+    bt = block_table(docs, tk.token_suffixes(tk.word_token_set(text_col), min_len), side)
+    freq = bt.groupBy("block_key").agg(F.count("*").alias("_freq"))
+    keep = freq.where(F.col("_freq") <= max_frequency).select("block_key")
+    return bt.join(F.broadcast(keep), "block_key", "left_semi")
+
+
+def extended_suffix_arrays_blocking(
+    docs: DataFrame,
+    min_len: int = 6,
+    max_frequency: int = 39,
+    text_col: str = "text",
+    side: str = "side",
+) -> DataFrame:
+    """B5 ExtendedSuffixArraysBlocking: all substrings >= min_len
+    (reference ``.../ExtendedSuffixArrays.java:29-35``)."""
+    bt = block_table(docs, tk.token_substrings(tk.word_token_set(text_col), min_len), side)
+    freq = bt.groupBy("block_key").agg(F.count("*").alias("_freq"))
+    keep = freq.where(F.col("_freq") <= max_frequency).select("block_key")
+    return bt.join(F.broadcast(keep), "block_key", "left_semi")
+
+
+def extended_qgrams_blocking(
+    docs: DataFrame,
+    q: int = 6,
+    threshold: float = 0.95,
+    text_col: str = "text",
+    side: str = "side",
+) -> DataFrame:
+    """B3 ExtendedQGramsBlocking: for each token with L q-grams, keys are all
+    concatenations of at least ceil(L * threshold) of its q-grams, in gram
+    order (reference driver ``.../ExtendedQGramsBlocks.java:28-41``; semantics
+    from the published JedAI operator). Combinatorial — generated in a
+    vectorized pandas UDF (SURVEY.md §2.7 allows UDFs exactly here).
+    """
+    max_combo = 5  # JedAI caps combination depth (MAX_Q_GRAMS=6 area); bound the blowup
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def combo_keys(tokens: pd.Series) -> pd.Series:
+        out = []
+        for toks in tokens:
+            keys: set[str] = set()
+            for t in toks if toks is not None else []:
+                grams = [t[i : i + q] for i in range(len(t) - q + 1)] or [t]
+                L = len(grams)
+                k = max(1, math.ceil(L * threshold))
+                if L == 1 or k >= L:
+                    keys.add("".join(grams))
+                    continue
+                if L - k > max_combo:
+                    k = L - max_combo
+                for r in range(k, L + 1):
+                    for combo in itertools.combinations(range(L), r):
+                        keys.add("".join(grams[i] for i in combo))
+            out.append(sorted(keys))
+        return pd.Series(out)
+
+    with_keys = docs.select(
+        "doc_id",
+        F.col(side).alias("side"),
+        combo_keys(tk.word_token_set(text_col)).alias("_keys"),
+    )
+    return (
+        with_keys.select("doc_id", "side", F.explode("_keys").alias("block_key"))
+        .where(F.col("block_key") != "")
+        .select("block_key", "side", "doc_id")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- block cleaning
+
+
+def _block_stats(blocks: DataFrame, clean_clean: bool) -> DataFrame:
+    """Per-block membership counts and comparison cardinality.
+
+    Clean-Clean: ||b|| = |bA| * |bB|;  Dirty: ||b|| = n(n-1)/2.
+    """
+    if clean_clean:
+        stats = blocks.groupBy("block_key").agg(
+            F.sum(F.when(F.col("side") == "A", 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("side") == "B", 1).otherwise(0)).alias("n_b"),
+        )
+        return stats.select(
+            "block_key",
+            (F.col("n_a") + F.col("n_b")).alias("block_size"),
+            (F.col("n_a") * F.col("n_b")).cast("long").alias("comparisons"),
+        )
+    stats = blocks.groupBy("block_key").agg(F.count("*").alias("block_size"))
+    return stats.select(
+        "block_key",
+        "block_size",
+        (F.col("block_size") * (F.col("block_size") - 1) / 2).cast("long").alias("comparisons"),
+    )
+
+
+def purging_threshold(stats_pdf, smoothing: float = 1.025) -> int:
+    """Parameter-free comparison-cardinality cutoff for Block Purging.
+
+    Derived from the published Block Purging heuristic (Papadakis et al.,
+    "Comparison-based Block Purging"; invoked by the reference at
+    ``blockingWorkflows/.../TokenBlocking.java:67-70``): scan distinct
+    comparison cardinalities ascending with cumulative block assignments (BC)
+    and cumulative comparisons (CC); the cutoff is the largest cardinality at
+    which increasing it still improves the assignment/comparison trade-off by
+    more than ``smoothing``, i.e. the last index where
+    ``CC_i * BC_{i-1} < smoothing * CC_{i-1} * BC_i`` fails going up.
+
+    ``stats_pdf``: pandas DF with columns (comparisons, block_size) per block.
+    Driver-side on the distinct-cardinality histogram (tiny).
+    """
+    import pandas as pd  # noqa: F401
+
+    g = (
+        stats_pdf.groupby("comparisons", sort=True)
+        .agg(assignments=("block_size", "sum"))
+        .reset_index()
+    )
+    if g.empty:
+        return 0
+    g["cum_bc"] = g["assignments"].cumsum().astype(float)  # block assignments
+    g["cum_cc"] = g["comparisons"].cumsum().astype(float)  # comparisons
+    cards = g["comparisons"].tolist()
+    bc = g["cum_bc"].tolist()
+    cc = g["cum_cc"].tolist()
+    threshold = cards[-1]
+    for i in range(len(cards) - 1, 0, -1):
+        # stop lowering the cutoff once the marginal gain in assignments per
+        # comparison is within the smoothing factor
+        if cc[i] * bc[i - 1] < smoothing * cc[i - 1] * bc[i]:
+            threshold = cards[i]
+            break
+        threshold = cards[i - 1]
+    return int(threshold)
+
+
+def block_purging(
+    blocks: DataFrame,
+    clean_clean: bool,
+    smoothing: float = 1.025,
+    max_comparisons: int | None = None,
+) -> DataFrame:
+    """B6 ComparisonsBasedBlockPurging: drop blocks whose comparison
+    cardinality exceeds the (parameter-free) cutoff. Reference invocation:
+    ``.../TokenBlocking.java:67-70`` (Clean-Clean ``true``; Dirty variant
+    ``blockingWorkflows/src/scalabilityAnalysis/TokenBlocking.java:59-60``).
+
+    The histogram scan runs driver-side on the distinct-cardinality summary
+    (one row per distinct block cardinality — tiny at any scale); the filter
+    itself is a broadcast semi-join. This doubles as the primary skew guard:
+    a stop-word token never becomes a 10^10-row join key.
+    """
+    stats = _block_stats(blocks, clean_clean)
+    if max_comparisons is None:
+        hist = stats.select("comparisons", "block_size").toPandas()
+        max_comparisons = purging_threshold(hist, smoothing)
+    keep = stats.where(F.col("comparisons") <= F.lit(max_comparisons)).select("block_key")
+    return blocks.join(F.broadcast(keep), "block_key", "left_semi")
+
+
+def block_filtering(blocks: DataFrame, ratio: float = 0.5, clean_clean: bool = True) -> DataFrame:
+    """B7 BlockFiltering: keep each entity only in the ``round(ratio * n)``
+    smallest of its n blocks (reference invocation
+    ``.../TokenBlocking.java:72-76``; default ratio 0.5
+    ``.../DefaultQGramsBlocks.java:59``).
+
+    Ordering is by block comparison-cardinality ascending with block_key as
+    the deterministic tie-break (the reference's tie order is list order —
+    unstable across JVMs — so we pin a total order; tests cover ties).
+    """
+    stats = _block_stats(blocks, clean_clean).select("block_key", "comparisons")
+    ranked = blocks.join(stats, "block_key")
+    w = Window.partitionBy("side", "doc_id").orderBy(F.col("comparisons").asc(), F.col("block_key").asc())
+    per_doc = Window.partitionBy("side", "doc_id")
+    return (
+        ranked.withColumn("_rank", F.row_number().over(w))
+        .withColumn("_n", F.count("*").over(per_doc))
+        .where(F.col("_rank") <= F.round(F.col("_n") * ratio).cast("int"))
+        .select("block_key", "side", "doc_id")
+    )
+
+
+# ------------------------------------------------ pair emission (B8)
+
+
+def pairs_from_blocks(
+    blocks: DataFrame,
+    clean_clean: bool,
+    salt_cap: int | None = 10_000,
+    with_block_key: bool = False,
+) -> DataFrame:
+    """B8 ComparisonPropagation: candidate pairs compared once regardless of
+    how many blocks they co-occur in (reference
+    ``blockingWorkflows/.../ParameterFreeWorkflow.java`` usage of
+    ``ComparisonPropagation.refineBlocks``).
+
+    Clean-Clean: A-side x B-side join per block; Dirty: self-join with
+    ``left_id < right_id``. ``distinct`` de-duplicates across blocks.
+
+    Scale note (north rule): purging bounds per-key postings, AQE skew-join
+    splits the residue; keys larger than ``salt_cap`` would still build a
+    quadratic block, so emission stays correct because the join is per
+    block_key and Spark streams the sorted runs — the real guard is purging,
+    and ``salt_cap`` is an assertion-style hard cap that *drops* pathological
+    keys (logged via count) rather than letting one key OOM an executor.
+    """
+    if salt_cap is not None:
+        sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= salt_cap).select("block_key")
+        blocks = blocks.join(F.broadcast(keep), "block_key", "left_semi")
+
+    if clean_clean:
+        left = blocks.where(F.col("side") == "A").select(
+            F.col("block_key"), F.col("doc_id").alias("left_id")
+        )
+        right = blocks.where(F.col("side") == "B").select(
+            F.col("block_key"), F.col("doc_id").alias("right_id")
+        )
+        pairs = left.join(right, "block_key")
+    else:
+        l = blocks.select("block_key", F.col("doc_id").alias("left_id"))
+        r = blocks.select("block_key", F.col("doc_id").alias("right_id"))
+        pairs = l.join(r, "block_key").where(F.col("left_id") < F.col("right_id"))
+    cols = ["left_id", "right_id"] + (["block_key"] if with_block_key else [])
+    return pairs.select(*cols).distinct()
+
+
+# ------------------------------------------------ convenience container
+
+
+@dataclass
+class BlockingConfig:
+    """One knob set instead of the reference's 30 driver copies
+    (SURVEY.md §2.3: L1/L2/L3 differ only in config arrays)."""
+
+    builder: str = "standard"  # standard | qgrams | extended_qgrams | suffix | extended_suffix
+    q: int = 6
+    suffix_min_len: int = 6
+    suffix_max_freq: int = 53
+    purge: bool = True
+    purge_smoothing: float = 1.025
+    filter_ratio: float | None = 0.5
+    clean_clean: bool = True
+
+
+def build_blocks(docs: DataFrame, cfg: BlockingConfig, text_col: str = "text") -> DataFrame:
+    builders = {
+        "standard": lambda: standard_blocking(docs, text_col),
+        "qgrams": lambda: qgrams_blocking(docs, cfg.q, text_col),
+        "extended_qgrams": lambda: extended_qgrams_blocking(docs, cfg.q, text_col=text_col),
+        "suffix": lambda: suffix_arrays_blocking(
+            docs, cfg.suffix_min_len, cfg.suffix_max_freq, text_col
+        ),
+        "extended_suffix": lambda: extended_suffix_arrays_blocking(
+            docs, cfg.suffix_min_len, cfg.suffix_max_freq, text_col
+        ),
+    }
+    blocks = builders[cfg.builder]()
+    if cfg.purge:
+        blocks = block_purging(blocks, cfg.clean_clean, cfg.purge_smoothing)
+    if cfg.filter_ratio is not None:
+        blocks = block_filtering(blocks, cfg.filter_ratio, cfg.clean_clean)
+    return blocks

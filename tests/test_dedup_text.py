@@ -1,0 +1,137 @@
+"""Dedup family + text analysis + multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from continuousfilteringbenchmark_spark.functions import text as tx
+from continuousfilteringbenchmark_spark.operators import dedup
+from continuousfilteringbenchmark_spark.operators import multimodal as mm
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_duplicates(spark):
+    df = _docs(
+        spark,
+        [("1", "Hello World"), ("2", "  hello world "), ("3", "different text")],
+    )
+    got = {r.doc_id: (r.is_duplicate, r.keep_id) for r in dedup.exact_duplicates(df).collect()}
+    assert got["1"] == (True, "1")
+    assert got["2"] == (True, "1")
+    assert got["3"] == (False, "3")
+
+
+def test_ngram_jaccard_near_duplicates(spark):
+    df = _docs(
+        spark,
+        [
+            ("1", "the quick brown fox jumps over the lazy dog"),
+            ("2", "the quick brown fox jumps over the lazy cat"),
+            ("3", "entirely different words appear here instead"),
+        ],
+    )
+    pairs = {(r.left_id, r.right_id) for r in dedup.ngram_jaccard_near_duplicates(df, 0.6).collect()}
+    assert ("1", "2") in pairs
+    assert all("3" not in p for p in pairs)
+
+
+def test_minhash_near_duplicates_verified(spark):
+    df = _docs(
+        spark,
+        [
+            ("1", "large scale entity resolution with spark dataframes"),
+            ("2", "large scale entity resolution with spark dataframe"),
+            ("3", "zzz completely unrelated content qqq"),
+        ],
+    )
+    pairs = dedup.minhash_near_duplicates(df, threshold=0.5).collect()
+    got = {(r.left_id, r.right_id) for r in pairs}
+    assert ("1", "2") in got
+    for r in pairs:
+        assert r.score >= 0.5
+
+
+def test_dedup_assignments_keep_min(spark):
+    df = _docs(spark, [("1", "a"), ("2", "a"), ("3", "a"), ("9", "b")])
+    pairs = spark.createDataFrame([("1", "2"), ("2", "3")], "left_id string, right_id string")
+    got = {r.doc_id: (r.group_id, r.keep) for r in dedup.dedup_assignments(df, pairs).collect()}
+    assert got == {"1": ("1", True), "2": ("1", False), "3": ("1", False), "9": ("9", True)}
+
+
+# ----------------------------------------------------------- text analysis
+
+
+def test_language_id(spark):
+    df = _docs(
+        spark,
+        [
+            ("en", "the cat and the dog sat in the garden with a ball"),
+            ("es", "el perro y la gata de la casa juegan por el parque con los amigos"),
+            ("de", "der hund und die katze sind nicht mit dem ball im garten"),
+            ("und", "zzz qqq www"),
+        ],
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", tx.language_id("text").alias("lang")).collect()}
+    assert got == {"en": "en", "es": "es", "de": "de", "und": "und"}
+
+
+def test_token_counts(spark):
+    df = _docs(spark, [("1", "one two three"), ("2", "")])
+    got = {r.doc_id: r.n for r in df.select("doc_id", tx.token_count("text").alias("n")).collect()}
+    assert got == {"1": 3, "2": 0}
+
+
+def test_bpe_ish_token_count_longer_for_long_words(spark):
+    df = _docs(spark, [("1", "internationalization"), ("2", "cat")])
+    got = {r.doc_id: r.n for r in df.select("doc_id", tx.bpe_ish_token_count("text").alias("n")).collect()}
+    assert got["1"] == 5  # ceil(20/4)
+    assert got["2"] == 1
+
+
+def test_quality_score_ranges(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs to the river bank"
+    bad = "@@@ ### $$$ %%%"
+    df = _docs(spark, [("good", good), ("bad", bad), ("empty", "")])
+    got = {r.doc_id: r.q for r in df.select("doc_id", tx.quality_score("text").alias("q")).collect()}
+    assert 0 <= got["empty"] <= got["bad"] < got["good"] <= 1.0
+
+
+def test_fingerprint_normalization_invariance(spark):
+    df = _docs(spark, [("1", "Hello,   World!"), ("2", "hello world"), ("3", "hello world!!")])
+    got = {r.doc_id: r.f for r in df.select("doc_id", tx.fingerprint("text").alias("f")).collect()}
+    assert got["1"] == got["2"] == got["3"]
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(spark, cc_corpus):
+    refs = mm.media_refs_from_docs(cc_corpus.docs)
+    assert refs.count() > 0
+    media = mm.synthesize_media_table(refs)
+    feats = mm.extract_features(media, decode_backend="fake")
+    rows = feats.limit(5).collect()
+    assert all(len(r.feature) == mm.FEATURE_DIM for r in rows)
+    # determinism: same ref -> same feature
+    f2 = {r.media_ref: r.feature for r in mm.extract_features(media, "fake").limit(5).collect()}
+    f1 = {r.media_ref: r.feature for r in rows}
+    for k in f1:
+        assert f1[k] == f2[k]
+
+
+def test_multimodal_real_backend_raises(spark, cc_corpus):
+    media = mm.synthesize_media_table(mm.media_refs_from_docs(cc_corpus.docs))
+    with pytest.raises(Exception):
+        mm.extract_features(media, decode_backend="real").collect()
+
+
+def test_frame_sampling(spark):
+    media = spark.createDataFrame(
+        [("ref://vid/1", "video", None, None, None, 3500)],
+        "media_ref string, media_type string, payload binary, width int, height int, duration_ms long",
+    )
+    frames = mm.sample_frames(media, every_ms=1000).collect()
+    assert {r.frame_idx for r in frames} == {0, 1, 2}
+    assert frames[0].frame_ref.startswith("ref://vid/1#f")

@@ -1,0 +1,108 @@
+"""LSH + dense-NN operators: determinism, recall envelopes, oracle checks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from continuousfilteringbenchmark_spark.functions import tokenize as tk
+from continuousfilteringbenchmark_spark.fixtures import vector_corpus
+from continuousfilteringbenchmark_spark.operators import lsh
+from continuousfilteringbenchmark_spark.operators.dense import knn_exact, knn_ivf, range_search
+
+
+def _toks(spark, rows, n=2):
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return df.withColumn("tokens", tk.char_ngram_set("text", n))
+
+
+def test_rows_per_band_formula():
+    # MH_LSH.py:13-15 with t=0.5: r = ceil(log(1/32)/log(0.5)) + 1 = 6
+    assert lsh.rows_per_band(32, 0.5) == 6
+    assert lsh.rows_per_band(16, 0.5) == 5
+
+
+def test_minhash_identical_docs_always_candidate(spark):
+    rows = [("1", "entity resolution blocking"), ("2", "entity resolution blocking"),
+            ("3", "totally different content here")]
+    df = _toks(spark, rows)
+    cand = {(r.left_id, r.right_id) for r in lsh.minhash_lsh_join(df).collect()}
+    assert ("1", "2") in cand
+
+
+def test_minhash_deterministic_across_partitioning(spark):
+    rows = [(str(i), f"document number {i} about entity resolution topic {i % 7}") for i in range(40)]
+    df1 = _toks(spark, rows).repartition(1)
+    df8 = _toks(spark, rows).repartition(8)
+    c1 = {(r.left_id, r.right_id) for r in lsh.minhash_lsh_join(df1, seed=7).collect()}
+    c8 = {(r.left_id, r.right_id) for r in lsh.minhash_lsh_join(df8, seed=7).collect()}
+    assert c1 == c8
+
+
+def test_minhash_recall_on_near_duplicates(spark):
+    # planted near-dups share most bigrams -> high minhash collision probability
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [("a", base), ("b", base + " x"), ("c", "completely unrelated short string zz")]
+    df = _toks(spark, rows)
+    cand = {(r.left_id, r.right_id) for r in lsh.minhash_lsh_join(df, n_bands=32, n_buckets=64).collect()}
+    assert ("a", "b") in cand
+
+
+def test_simhash_identical_zero_hamming(spark):
+    rows = [("1", "entity resolution at scale"), ("2", "entity resolution at scale"),
+            ("3", "zzz qqq www eee rrr")]
+    df = spark.createDataFrame(rows, "doc_id string, text string").withColumn(
+        "tokens", tk.word_token_set("text")
+    )
+    pairs = lsh.simhash_near_duplicates(df, max_hamming=3).collect()
+    got = {(r.left_id, r.right_id): r.hamming for r in pairs}
+    assert got.get(("1", "2")) == 0
+    assert ("1", "3") not in got
+
+
+def test_hyperplane_lsh_buckets_near_vectors_together(spark):
+    vecs, gold = vector_corpus(spark, n_entities=60, dim=16, seed=3)
+    bands = lsh.hyperplane_bands(vecs, n_tables=12, n_bits=8, dim=16)
+    cand = lsh.lsh_candidates(bands)
+    g = {(r.left_id, r.right_id) for r in gold.collect()}
+    c = {(min(r.left_id, r.right_id), max(r.left_id, r.right_id)) for r in cand.collect()}
+    recall = len(g & c) / len(g)
+    assert recall >= 0.9, f"recall={recall}"
+
+
+def test_knn_exact_matches_numpy_bruteforce(spark):
+    import numpy as np
+
+    vecs, _ = vector_corpus(spark, n_entities=25, dim=8, match_rate=0.0, seed=11)
+    rows = vecs.collect()
+    ids = [r.doc_id for r in rows]
+    M = np.array([r.vec for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = M @ M.T
+    got = knn_exact(vecs, vecs, k=3)
+    got_map = {}
+    for r in got.collect():
+        got_map.setdefault(r.query_id, set()).add(r.corpus_id)
+    # verify per-query top-1 matches numpy argmax
+    for qi, qid in enumerate(ids):
+        s = sims[qi].copy()
+        s[qi] = -2
+        best = ids[int(np.argmax(s))]
+        assert best in got_map[qid]
+
+
+def test_knn_ivf_recall_vs_exact(spark):
+    vecs, _ = vector_corpus(spark, n_entities=80, dim=16, seed=5)
+    exact = knn_exact(vecs, vecs, k=3)
+    approx = knn_ivf(vecs, vecs, k=3, n_cells=4, nprobe=2, seed=5)
+    e = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.7
+
+
+def test_range_search_threshold(spark):
+    vecs, gold = vector_corpus(spark, n_entities=40, dim=16, seed=9)
+    pairs = range_search(vecs, None, threshold=0.85)
+    g = {(r.left_id, r.right_id) for r in gold.collect()}
+    got = {(r.left_id, r.right_id) for r in pairs.collect()}
+    assert len(g & got) / len(g) >= 0.8
+    for r in pairs.collect():
+        assert r.score >= 0.85

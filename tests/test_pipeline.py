@@ -1,0 +1,63 @@
+"""End-to-end ER pipeline: the BASELINE.json gates.
+
+* pairwise F1 >= 0.99 vs planted gold clusters on the DBLP-ACM-style fixture
+* span-sequence invariant (kind, text, media_ref, order) through every stage
+* determinism across parallelism (identical match sets at different
+  partition counts)
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from continuousfilteringbenchmark_spark.datamodel import agg_text, span_invariant_hash
+from continuousfilteringbenchmark_spark.eval import evaluate_clusters, evaluate_pairs
+from continuousfilteringbenchmark_spark.plans.pipeline import ERConfig, er_pipeline
+
+
+@pytest.fixture(scope="module")
+def result(cc_corpus):
+    return er_pipeline(cc_corpus.docs, ERConfig(threshold=0.5), clean_clean=True)
+
+
+def test_blocking_recall_above_bar(result, cc_corpus):
+    # reference tuning bar: PC >= 0.9 on candidates (Poster_ICDE.pdf p.1)
+    m = evaluate_pairs(result["candidate_pairs"], cc_corpus.gold_pairs)
+    assert m.pc >= 0.95, f"PC={m.pc}"
+
+
+def test_pairwise_f1_gate(result, cc_corpus):
+    m = evaluate_clusters(result["clusters"], cc_corpus.gold_pairs)
+    assert m.f1 >= 0.99, f"F1={m.f1} PC={m.pc} PQ={m.pq}"
+
+
+def test_span_invariant_through_pipeline(cc_corpus, result, spark):
+    # docs joined with any pipeline output must carry identical span hashes
+    before = cc_corpus.docs.select("doc_id", span_invariant_hash("spans").alias("h_in"))
+    # run docs through a shuffle-heavy path: join with clusters, repartition
+    after = (
+        cc_corpus.docs.join(result["clusters"], "doc_id")
+        .repartition(16, "cluster_id")
+        .select("doc_id", span_invariant_hash("spans").alias("h_out"))
+    )
+    diff = before.join(after, "doc_id").where(F.col("h_in") != F.col("h_out")).count()
+    assert diff == 0
+
+
+def test_media_spans_opaque(cc_corpus):
+    # media spans never contribute text to the schema-agnostic view
+    texts = cc_corpus.docs.select(agg_text("spans").alias("t")).collect()
+    assert all("ref://" not in (r.t or "") for r in texts)
+
+
+def test_determinism_across_parallelism(cc_corpus):
+    r2 = er_pipeline(cc_corpus.docs.repartition(2), ERConfig(), clean_clean=True)
+    r8 = er_pipeline(cc_corpus.docs.repartition(8), ERConfig(), clean_clean=True)
+    p2 = {(r.left_id, r.right_id) for r in r2["matches"].select("left_id", "right_id").collect()}
+    p8 = {(r.left_id, r.right_id) for r in r8["matches"].select("left_id", "right_id").collect()}
+    assert p2 == p8
+
+
+def test_dirty_er_pipeline(dirty):
+    res = er_pipeline(dirty.docs, ERConfig(threshold=0.5), clean_clean=False)
+    m = evaluate_clusters(res["clusters"], dirty.gold_pairs)
+    assert m.f1 >= 0.95, f"F1={m.f1} PC={m.pc} PQ={m.pq}"

@@ -107,7 +107,9 @@ def knn_ivf(
 
     train = corpus.select(array_to_vector(_norm(vec_col)).alias("features"))
     km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
-    centers = [c.toArray().tolist() for c in km.clusterCenters()]
+    centers = [
+        (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in km.clusterCenters()
+    ]
 
     c_cells = _assign_cells(corpus, centers, 1, vec_col, id_col, "corpus_id")
     q_cells = _assign_cells(queries, centers, nprobe, vec_col, id_col, "query_id")

@@ -207,8 +207,8 @@ def simhash64(
             votes = np.zeros(64, dtype=np.int64)
             for t in toks:
                 bt = t.encode("utf-8")
-                h = (zlib.crc32(bt) << 32) | zlib.crc32(b"\x00" + bt)
-                bits = (h >> np.arange(64)) & 1
+                h = np.uint64((zlib.crc32(bt) << 32) | zlib.crc32(b"\x00" + bt))
+                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
                 votes += 2 * bits - 1
             fp_bits = (votes > 0).astype(np.uint64)
             val = int((fp_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))

@@ -99,10 +99,24 @@ def test_knn_ivf_recall_vs_exact(spark):
 
 
 def test_range_search_threshold(spark):
-    vecs, gold = vector_corpus(spark, n_entities=40, dim=16, seed=9)
+    # exact oracle: range_search must return precisely the pairs whose
+    # cosine >= threshold (brute force in pure python)
+    vecs, _ = vector_corpus(spark, n_entities=40, dim=16, seed=9)
+    rows = [(r.doc_id, r.vec) for r in vecs.collect()]
+
+    def cos(a, b):
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    expected = {
+        (rows[i][0], rows[j][0])
+        for i in range(len(rows))
+        for j in range(len(rows))
+        if rows[i][0] < rows[j][0] and cos(rows[i][1], rows[j][1]) >= 0.85
+    }
     pairs = range_search(vecs, None, threshold=0.85)
-    g = {(r.left_id, r.right_id) for r in gold.collect()}
     got = {(r.left_id, r.right_id) for r in pairs.collect()}
-    assert len(g & got) / len(g) >= 0.8
+    assert got == expected
     for r in pairs.collect():
         assert r.score >= 0.85

@@ -1,0 +1,76 @@
+"""Benchmark driver: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., plus throughput extras}.
+
+Scaling-efficiency evidence (north rule: N vs 4N cores) is produced by
+``scripts/scaling_bench.py`` which shells out to this file at two
+parallelism levels and writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+
+# headline set: one per operator family, ordered cheap -> expensive
+BENCH_QUERIES = [
+    "exact_dedup",
+    "text_profile",
+    "lang_histogram",
+    "token_blocks",
+    "block_purging",
+    "block_filtering",
+    "simhash_dedup",
+    "minhash_dedup",
+    "knn_embeddings",
+    "range_search_embeddings",
+    "er_clusters",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    names = sys.argv[1:] or BENCH_QUERIES
+
+    from continuousfilteringbenchmark_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    # warm the JVM + parquet footers once so q1 doesn't pay session startup
+    entrymod._documents(spark, sf_dir).count()
+
+    for name in names:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = n
+
+    total = round(sum(timings.values()), 3)
+    # throughput proxy for the ER headline: candidate pairs scored per second
+    n_docs = entrymod._documents(spark, sf_dir).count()
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "rows": rows,
+        "n_docs": n_docs,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

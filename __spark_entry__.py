@@ -26,11 +26,15 @@ from pyspark.sql import functions as F
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf* tables are single small parquet files -> one input partition;
+    # spread rows across the cluster before fan-out operators / pandas UDFs
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _word_toks(documents: DataFrame) -> DataFrame:
@@ -206,13 +210,188 @@ def q_range_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_search(vecs, None, threshold=0.35, id_col="vec_id")
 
 
+def q_qgrams_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    docs = _documents(spark, sf_dir).withColumn("side", F.lit("A"))
+    return B.qgrams_blocking(docs, q=6).select("block_key", "doc_id")
+
+
+def q_suffix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    docs = _documents(spark, sf_dir).withColumn("side", F.lit("A"))
+    return B.suffix_arrays_blocking(docs, min_len=6, max_frequency=53).select(
+        "block_key", "doc_id"
+    )
+
+
+def q_clean_clean_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-Clean ER over a two-source split of the documents table (side A =
+    even doc_id, side B = odd): token blocking -> CC purging -> A x B pairs ->
+    Jaccard >= 0.5. Exercises the clean_clean=True paths end-to-end."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.plans.pipeline import score_pairs
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+
+    documents = _documents(spark, sf_dir)
+    sided = documents.withColumn(
+        "side", F.when(F.col("doc_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    )
+    blocks = B.standard_blocking(sided, "text")
+    purged = B.block_purging(blocks, clean_clean=True)
+    pairs = B.pairs_from_blocks(purged, clean_clean=True)
+    toks = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tk.word_token_set("text").alias("tokens"),
+    )
+    pairs = pairs.select(
+        F.col("left_id").cast("string").alias("left_id"),
+        F.col("right_id").cast("string").alias("right_id"),
+    )
+    scored = score_pairs(pairs, toks, "jaccard")
+    return scored.where(F.col("score") >= 0.5)
+
+
+def q_metablocking_ecbs_wnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    return MB.wnp(MB.weighted_pairs(blocks, "ECBS", clean_clean=False))
+
+
+def q_metablocking_arcs_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    # round the summed ARCS weight (order-dependent float addition) BEFORE
+    # ranking so the Spark and DuckDB top-K boundaries agree bit-for-bit
+    weighted = MB.weighted_pairs(blocks, "ARCS", clean_clean=False).withColumn(
+        "weight", F.round("weight", 9)
+    )
+    return MB.cep(weighted, k=500)
+
+
+def q_topk_join_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3-style top-k join on word MULTISET tokens (occurrence-suffixed,
+    P6 semantics — the reference's CHARACTER/TOKEN multiset trick)."""
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+    from continuousfilteringbenchmark_spark.operators.joins import topk_join
+
+    toks = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tk.word_token_multiset("text").alias("tokens"),
+    )
+    return topk_join(toks, None, k=5, sim="cosine")
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verification-stage scoring: block-filtered candidates scored with
+    normalized Levenshtein similarity on the 40-char normalized prefix
+    (built-in JVM levenshtein — north-rule edit-distance scorer)."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.functions.similarity import edit_similarity
+
+    documents = _documents(spark, sf_dir)
+    blocks = _doc_blocks(documents)
+    purged = B.block_purging(blocks, clean_clean=False)
+    filtered = B.block_filtering(purged, 0.5, clean_clean=False)
+    pairs = B.pairs_from_blocks(filtered, clean_clean=False)
+    pref = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.substring(F.lower(F.trim("text")), 1, 40).alias("_p"),
+    )
+    lt = pref.select(F.col("doc_id").alias("left_id"), F.col("_p").alias("_lp"))
+    rt = pref.select(F.col("doc_id").alias("right_id"), F.col("_p").alias("_rp"))
+    return (
+        pairs.join(lt, "left_id")
+        .join(rt, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            edit_similarity(F.col("_lp"), F.col("_rp")).alias("score"),
+        )
+        .where(F.col("score") >= 0.8)
+    )
+
+
+def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched Jaro-Winkler scoring (Arrow pandas UDF — no Spark builtin)
+    of block-filtered candidates on the 40-char normalized prefix."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.functions.similarity import jaro_winkler
+
+    documents = _documents(spark, sf_dir)
+    blocks = _doc_blocks(documents)
+    purged = B.block_purging(blocks, clean_clean=False)
+    filtered = B.block_filtering(purged, 0.5, clean_clean=False)
+    pairs = B.pairs_from_blocks(filtered, clean_clean=False)
+    pref = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.substring(F.lower(F.trim("text")), 1, 40).alias("_p"),
+    )
+    lt = pref.select(F.col("doc_id").alias("left_id"), F.col("_p").alias("_lp"))
+    rt = pref.select(F.col("doc_id").alias("right_id"), F.col("_p").alias("_rp"))
+    return (
+        pairs.join(lt, "left_id")
+        .join(rt, "right_id")
+        .select(
+            "left_id",
+            "right_id",
+            F.round(jaro_winkler(F.col("_lp"), F.col("_rp")), 12).alias("score"),
+        )
+        .where(F.col("score") >= 0.95)
+    )
+
+
+def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-sequence invariant surface: the interleaved lift's per-row ordered
+    (kind, text, media_ref, offset) hash — the quantity every shuffle-bearing
+    stage must preserve (north rule). Oracle recomputes the lift + hash in SQL,
+    proving the hash is a pure deterministic function of the input row."""
+    from continuousfilteringbenchmark_spark.datamodel import documents_to_docs, span_invariant_hash
+
+    docs = documents_to_docs(_documents(spark, sf_dir))
+    return docs.select("doc_id", span_invariant_hash("spans").alias("span_hash"))
+
+
 # ---- non-SQL-expressible (driver records rows-only checks) ----
+
+
+def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.operators.lsh import (
+        hyperplane_bands,
+        lsh_candidates,
+    )
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    bands = hyperplane_bands(vecs, n_tables=8, n_bits=12, id_col="vec_id")
+    return lsh_candidates(bands)
+
+
+def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.operators.dedup import (
+        dedup_assignments,
+        minhash_near_duplicates,
+    )
+
+    documents = _documents(spark, sf_dir)
+    pairs = minhash_near_duplicates(documents, threshold=0.7, n=5)
+    return dedup_assignments(
+        documents.select(F.col("doc_id").cast("string").alias("doc_id")), pairs
+    )
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from continuousfilteringbenchmark_spark.operators.dedup import minhash_near_duplicates
 
-    return minhash_near_duplicates(_documents(spark, sf_dir), threshold=0.5, n=3)
+    # threshold 0.7 / 5-grams: the dedup-tuned operating point (0.5/3-grams
+    # degenerates on template-heavy corpora — ambient trigram similarity of
+    # short same-domain docs sits near 0.5, so half the quadratic pair space
+    # "matches"; real dedup pipelines run the tighter config)
+    return minhash_near_duplicates(_documents(spark, sf_dir), threshold=0.7, n=5)
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,10 +438,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_histogram": q_lang_histogram,
         "knn_embeddings": q_knn_embeddings,
         "range_search_embeddings": q_range_search_embeddings,
+        "qgrams_blocks": q_qgrams_blocks,
+        "suffix_blocks": q_suffix_blocks,
+        "clean_clean_er": q_clean_clean_er,
+        "metablocking_ecbs_wnp": q_metablocking_ecbs_wnp,
+        "metablocking_arcs_cep": q_metablocking_arcs_cep,
+        "topk_join_multiset": q_topk_join_multiset,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "span_invariant": q_span_invariant,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "media_features": q_media_features,
+        "hyperplane_lsh": q_hyperplane_lsh,
+        "dedup_assignments": q_dedup_assignments,
     }
 
 
@@ -409,6 +599,79 @@ nv AS (
   FROM (SELECT vec_id, e,
                sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
         FROM v)
+)
+"""
+
+
+# multiset word tokens: tok || occurrence-index (0-based count of equal
+# tokens earlier in the bag) — P6 semantics (functions/tokenize.py
+# word_token_multiset); duplicates reified so |bag| = len(l)
+_MTOKS = r"""
+bag AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '[\W_]+'),
+                     t -> t <> '') AS l
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l)),
+                               i -> struct_pack(tok := l[i], pos := i))) AS s
+  FROM bag
+),
+mtoks AS (
+  SELECT doc_id,
+         s.tok || CAST(row_number() OVER (PARTITION BY doc_id, s.tok
+                                          ORDER BY s.pos) - 1 AS VARCHAR) AS tok
+  FROM pos
+),
+msz AS (SELECT doc_id, count(*) AS sz FROM mtoks GROUP BY doc_id)
+"""
+
+# clean-clean token blocks (side A = even doc_id, B = odd) + CC purging
+# (comparisons = n_a * n_b, assignments = n_a + n_b; same histogram scan as
+# the dirty _PURGE — mirrors blocking.purging_threshold with smoothing 1.025)
+_CC_PURGE = r"""
+cctoks AS (
+  SELECT DISTINCT doc_id, doc_id % 2 = 0 AS is_a, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(trim(text)), '[\W_]+'),
+                              t -> t <> '')) AS tok
+    FROM documents
+  )
+),
+ccb AS (
+  SELECT tok AS block_key,
+         sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS n_b
+  FROM cctoks GROUP BY tok
+),
+ccbstats AS (
+  SELECT block_key, (n_a + n_b) AS bs, CAST(n_a * n_b AS BIGINT) AS comp FROM ccb
+),
+cchist AS (SELECT comp, sum(bs) AS assignments FROM ccbstats GROUP BY comp),
+cccum AS (
+  SELECT comp,
+         sum(assignments) OVER (ORDER BY comp) AS bc,
+         sum(comp)        OVER (ORDER BY comp) AS cc,
+         row_number()     OVER (ORDER BY comp) AS rn
+  FROM cchist
+),
+cccnd AS (
+  SELECT comp, rn,
+         (CAST(cc AS DOUBLE) * lag(bc) OVER (ORDER BY comp))
+           < (1.025 * lag(cc) OVER (ORDER BY comp) * CAST(bc AS DOUBLE)) AS ok
+  FROM cccum
+),
+ccthr AS (
+  SELECT coalesce(max(comp) FILTER (WHERE ok AND rn > 1),
+                  (SELECT min(comp) FROM cchist)) AS t
+  FROM cccnd
+),
+ccpurged AS (
+  SELECT t.tok AS block_key, t.doc_id, t.is_a
+  FROM cctoks t JOIN ccbstats b ON b.block_key = t.tok CROSS JOIN ccthr
+  WHERE b.comp <= ccthr.t
 )
 """
 
@@ -666,5 +929,208 @@ def oracle_sql() -> dict[str, str]:
             FROM nv q JOIN nv c ON q.vec_id < c.vec_id
             WHERE list_sum(list_transform(generate_series(1, len(q.u)),
                                           i -> q.u[i] * c.u[i])) >= 0.35
+        """,
+        "qgrams_blocks": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN length(tok) < 6 THEN [tok]
+                          ELSE list_transform(generate_series(1, length(tok) - 5),
+                                              i -> substring(tok, i, 6)) END) AS block_key
+            FROM toks
+        """,
+        "suffix_blocks": f"""
+            WITH {_TOKS},
+            sfx AS (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN length(tok) < 6 THEN [tok]
+                            ELSE list_transform(generate_series(1, length(tok) - 5),
+                                                i -> substring(tok, i, length(tok))) END)
+                       AS block_key
+              FROM toks
+            ),
+            freq AS (SELECT block_key, count(*) AS f FROM sfx GROUP BY block_key)
+            SELECT s.block_key, s.doc_id
+            FROM sfx s JOIN freq USING (block_key) WHERE freq.f <= 53
+        """,
+        "clean_clean_er": f"""
+            WITH {_CC_PURGE},
+            cpairs AS (
+              SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+              FROM ccpurged a
+              JOIN ccpurged b ON a.block_key = b.block_key AND a.is_a AND NOT b.is_a
+            ),
+            sz AS (SELECT doc_id, count(DISTINCT tok) AS sz FROM cctoks GROUP BY doc_id),
+            common AS (
+              SELECT p.lid, p.rid, count(*) AS c
+              FROM cpairs p
+              JOIN cctoks tl ON tl.doc_id = p.lid
+              JOIN cctoks tr ON tr.doc_id = p.rid AND tl.tok = tr.tok
+              GROUP BY p.lid, p.rid
+            )
+            SELECT CAST(c.lid AS VARCHAR) AS left_id,
+                   CAST(c.rid AS VARCHAR) AS right_id,
+                   CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) AS score
+            FROM common c
+            JOIN sz l ON l.doc_id = c.lid
+            JOIN sz r ON r.doc_id = c.rid
+            WHERE CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) >= 0.5
+        """,
+        "metablocking_ecbs_wnp": f"""
+            WITH {_TOKS},
+            nb AS (SELECT doc_id, count(DISTINCT tok) AS nb FROM toks GROUP BY doc_id),
+            nblocks AS (SELECT count(DISTINCT tok) AS b FROM toks),
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     p.cbs * log10(CAST(nblocks.b AS DOUBLE) / l.nb)
+                           * log10(CAST(nblocks.b AS DOUBLE) / r.nb) AS weight
+              FROM (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       CAST(count(*) AS DOUBLE) AS cbs
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+              ) p
+              JOIN nb l ON l.doc_id = p.left_id
+              JOIN nb r ON r.doc_id = p.right_id
+              CROSS JOIN nblocks
+            ),
+            ne AS (
+              SELECT left_id AS node, left_id, right_id, weight FROM wt
+              UNION ALL
+              SELECT right_id AS node, left_id, right_id, weight FROM wt
+            ),
+            flags AS (
+              SELECT left_id, right_id, weight,
+                     CASE WHEN weight >= avg(weight) OVER (PARTITION BY node)
+                          THEN 1 ELSE 0 END AS pass
+              FROM ne
+            )
+            SELECT left_id, right_id, weight
+            FROM flags GROUP BY left_id, right_id, weight HAVING sum(pass) >= 1
+        """,
+        "metablocking_arcs_cep": f"""
+            WITH {_TOKS},
+            card AS (
+              SELECT tok AS block_key,
+                     CAST(count(*) AS DOUBLE) * (count(*) - 1) / 2 AS cardinality
+              FROM toks GROUP BY tok
+            ),
+            wt AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     round(sum(1.0 / c.cardinality), 9) AS weight
+              FROM toks a
+              JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              JOIN card c ON c.block_key = a.tok
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            rk AS (
+              SELECT left_id, right_id, weight,
+                     row_number() OVER (ORDER BY weight DESC, left_id ASC,
+                                        right_id ASC) AS rn
+              FROM wt
+            )
+            SELECT left_id, right_id, weight
+            FROM rk WHERE rn <= 500
+        """,
+        "topk_join_multiset": f"""
+            WITH {_MTOKS},
+            pc AS (
+              SELECT a.doc_id AS tgt_id, b.doc_id AS src_id, count(*) AS c
+              FROM mtoks a JOIN mtoks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            sc AS (
+              SELECT tgt_id, src_id,
+                     CAST(c AS DOUBLE)
+                       / sqrt(CAST(ss.sz AS DOUBLE) * CAST(ts.sz AS DOUBLE)) AS score
+              FROM pc
+              JOIN msz ts ON ts.doc_id = tgt_id
+              JOIN msz ss ON ss.doc_id = src_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                           ORDER BY score DESC, src_id ASC) AS rn
+              FROM sc
+            ),
+            kth AS (
+              SELECT tgt_id, max(CASE WHEN rn = 5 THEN score END) AS kv
+              FROM rk GROUP BY tgt_id
+            ),
+            kept AS (
+              SELECT s.src_id, s.tgt_id, s.score
+              FROM sc s JOIN kth k USING (tgt_id)
+              WHERE k.kv IS NULL OR s.score >= k.kv
+            )
+            SELECT least(src_id, tgt_id) AS left_id,
+                   greatest(src_id, tgt_id) AS right_id,
+                   max(score) AS score
+            FROM kept
+            GROUP BY least(src_id, tgt_id), greatest(src_id, tgt_id)
+        """,
+        "edit_distance_pairs": f"""
+            WITH {_TOKS}, {_BSTATS}, {_PURGE}, {_FILTER},
+            cpairs AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM filtered a
+              JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            ),
+            pref AS (
+              SELECT doc_id, substring(lower(trim(text)), 1, 40) AS p FROM documents
+            ),
+            sc AS (
+              SELECT c.left_id, c.right_id,
+                     CASE WHEN greatest(length(l.p), length(r.p)) = 0 THEN 1.0
+                          ELSE 1.0 - CAST(levenshtein(l.p, r.p) AS DOUBLE)
+                               / greatest(length(l.p), length(r.p)) END AS score
+              FROM cpairs c
+              JOIN pref l ON l.doc_id = c.left_id
+              JOIN pref r ON r.doc_id = c.right_id
+            )
+            SELECT left_id, right_id, score FROM sc WHERE score >= 0.8
+        """,
+        "jaro_winkler_pairs": f"""
+            WITH {_TOKS}, {_BSTATS}, {_PURGE}, {_FILTER},
+            cpairs AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM filtered a
+              JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            ),
+            pref AS (
+              SELECT doc_id, substring(lower(trim(text)), 1, 40) AS p FROM documents
+            ),
+            sc AS (
+              SELECT c.left_id, c.right_id,
+                     round(jaro_winkler_similarity(l.p, r.p), 12) AS score
+              FROM cpairs c
+              JOIN pref l ON l.doc_id = c.left_id
+              JOIN pref r ON r.doc_id = c.right_id
+            )
+            SELECT left_id, right_id, score FROM sc WHERE score >= 0.95
+        """,
+        "span_invariant": r"""
+            WITH lift AS (
+              SELECT doc_id,
+                     str_split(text, ' ') AS w,
+                     doc_id % 3 = 0 AS has_media
+              FROM documents
+            ),
+            parts AS (
+              SELECT doc_id,
+                     'title' || chr(31) || array_to_string(w[1:6], ' ')
+                       || chr(31) || chr(1) || chr(31) || '0' AS p_title,
+                     CASE WHEN has_media
+                          THEN 'media' || chr(31) || chr(1) || chr(31)
+                               || 'ref://img/' || CAST(doc_id AS VARCHAR)
+                               || chr(31) || '1' || chr(2)
+                          ELSE '' END AS p_media,
+                     'body' || chr(31)
+                       || (CASE WHEN len(w) > 6
+                                THEN array_to_string(w[7:], ' ') ELSE '' END)
+                       || chr(31) || chr(1) || chr(31)
+                       || (CASE WHEN has_media THEN '2' ELSE '1' END) AS p_body
+              FROM lift
+            )
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(p_title || chr(2) || p_media || p_body) AS span_hash
+            FROM parts
         """,
     }

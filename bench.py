@@ -50,11 +50,21 @@ def main() -> None:
     # warm the JVM + parquet footers once so q1 doesn't pay session startup
     entrymod._documents(spark, sf_dir).count()
 
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     for name in names:
+        obs = Observation(f"rows_{name}")
         t0 = time.perf_counter()
-        n = qs[name](spark, sf_dir).count()
+        # construction is INSIDE the timer: iterative operators (connected
+        # components) run eager actions while building their result
+        df = qs[name](spark, sf_dir).observe(obs, F.count(F.lit(1)).alias("n"))
+        # noop write materializes EVERY column (a bare count() would let
+        # Catalyst prune unused projections and under-report); the row count
+        # rides along as an observation so nothing executes twice
+        df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = n
+        rows[name] = int(obs.get["n"])
 
     total = round(sum(timings.values()), 3)
     # throughput proxy for the ER headline: candidate pairs scored per second

@@ -81,10 +81,10 @@ def span_invariant_hash(spans: Column | str = "spans") -> Column:
         ordered,
         lambda s: F.concat_ws(
             "\x1f",
-            F.coalesce(s["kind"], F.lit("\x00")),
-            F.coalesce(s["text"], F.lit("\x00")),
-            F.coalesce(s["media_ref"], F.lit("\x00")),
-            F.coalesce(s["offset"].cast("string"), F.lit("\x00")),
+            F.coalesce(s["kind"], F.lit("\x01")),
+            F.coalesce(s["text"], F.lit("\x01")),
+            F.coalesce(s["media_ref"], F.lit("\x01")),
+            F.coalesce(s["offset"].cast("string"), F.lit("\x01")),
         ),
     )
     return F.md5(F.array_join(parts, ""))

@@ -152,6 +152,41 @@ def dirty_corpus(
     return DirtyCorpus(docs=docs, gold_pairs=gold_df)
 
 
+def distributed_dirty_docs(
+    spark: SparkSession, n_entities: int, seed: int = 42, partitions: int = 64
+) -> DataFrame:
+    """Scale-bench generator: the Dirty-ER recipe of ``dirty_corpus`` run
+    data-parallel via ``mapInPandas`` so corpora of 10^5-10^6 docs generate in
+    executor time, not driver time. Deterministic per (seed, eid) — every
+    entity draws from its own ``random.Random(seed * P + eid)``, so the output
+    is identical at any parallelism/partitioning (north-rule determinism).
+
+    Models the reference's synthetic Dirty scalability sets
+    (``/root/reference/README.md:88-96``, 10K-2M entities).
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for eid in pdf["id"]:
+                eid = int(eid)
+                rng = random.Random(seed * 1_000_003 + eid)
+                ent = _make_entity(rng, eid)
+                n_copies = 1
+                while n_copies < 4 and rng.random() < 0.45:
+                    n_copies += 1
+                for c in range(n_copies):
+                    spans = [
+                        {"kind": k, "text": t, "media_ref": m, "offset": o}
+                        for (k, t, m, o) in _spans_for(rng, ent, corrupt=(c > 0))
+                    ]
+                    rows.append({"doc_id": f"D:{eid:08d}:{c}", "spans": spans})
+            yield pd.DataFrame(rows)
+
+    return spark.range(n_entities).repartition(partitions).mapInPandas(gen, DOCS_SCHEMA)
+
+
 def vector_corpus(
     spark: SparkSession,
     n_entities: int = 200,

@@ -97,6 +97,20 @@ def char_ngram_multiset(c: Column | str, n: int) -> Column:
     return with_occurrence_suffix(char_ngrams(c, n))
 
 
+def hash_token_set(arr: Column) -> Column:
+    """Dictionary-free token encoding: token set -> sorted array<long> of
+    xxhash64 ids.
+
+    Scale rationale: Spark's ``array_intersect`` on string arrays takes the
+    generic non-codegen path (~100x slower than the primitive-long fast path,
+    measured 242s -> 2.5s for 12.5M pair intersections at local[32]); every
+    array-carrying scoring join therefore runs on hashed ids. 64-bit ids make
+    an in-pair collision (the only kind that could shift a score) ~n^2/2^64
+    per pair — negligible even at 10^12 docs.
+    """
+    return F.array_sort(F.array_distinct(F.transform(arr, lambda t: F.xxhash64(t))))
+
+
 def token_qgrams(tokens: Column, q: int) -> Column:
     """Distinct char q-grams over an array of tokens (QGramsBlocking keys,
     reference driver ``blockingWorkflows/.../QGramsBlocks.java:69-72``).

@@ -84,8 +84,9 @@ def minhash_near_duplicates(
     cand = minhash_lsh_join(toks, None, n_bands, n_buckets, threshold, seed)
     if not verify:
         return cand
-    lt = toks.select(F.col("doc_id").alias("left_id"), F.col("tokens").alias("_lt"))
-    rt = toks.select(F.col("doc_id").alias("right_id"), F.col("tokens").alias("_rt"))
+    hashed = toks.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
+    lt = hashed.select(F.col("doc_id").alias("left_id"), F.col("_h").alias("_lt"))
+    rt = hashed.select(F.col("doc_id").alias("right_id"), F.col("_h").alias("_rt"))
     scored = (
         cand.join(lt, "left_id")
         .join(rt, "right_id")

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import set_similarity
+from ..functions.tokenize import hash_token_set
 
 
 def _tokenized(docs: DataFrame, tokens_col: str, id_col: str) -> DataFrame:
@@ -94,9 +95,16 @@ def epsilon_join(
         cand = lp.join(rp, "_tok").select("left_id", "right_id").distinct()
         if self_join:
             cand = cand.where(F.col("left_id") < F.col("right_id"))
-        # length filter: |A∩B| >= t*|A∪B| implies size ratio bound
-        l_full = l.select(F.col("_id").alias("left_id"), F.col("_tokens").alias("_ltok"), F.col("_size").alias("_lsz"))
-        r_full = r.select(F.col("_id").alias("right_id"), F.col("_tokens").alias("_rtok"), F.col("_size").alias("_rsz"))
+        # length filter: |A∩B| >= t*|A∪B| implies size ratio bound.
+        # Scoring joins carry hashed-long token ids (array_intersect fast
+        # path; see functions.tokenize.hash_token_set) — _size stays the
+        # ORIGINAL set size so denominators are exact.
+        l_h = l.withColumn("_htok", hash_token_set(F.col("_tokens")))
+        r_h = r if self_join else r.withColumn("_htok", hash_token_set(F.col("_tokens")))
+        if self_join:
+            r_h = l_h
+        l_full = l_h.select(F.col("_id").alias("left_id"), F.col("_htok").alias("_ltok"), F.col("_size").alias("_lsz"))
+        r_full = r_h.select(F.col("_id").alias("right_id"), F.col("_htok").alias("_rtok"), F.col("_size").alias("_rsz"))
         scored = (
             cand.join(l_full, "left_id")
             .join(r_full, "right_id")

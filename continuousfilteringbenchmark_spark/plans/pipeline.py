@@ -58,17 +58,21 @@ def score_pairs(
     """Score candidate (left_id, right_id) pairs with exact set similarity.
 
     Joins the token arrays back to the pruned pair set (candidate count is
-    << quadratic by construction) and computes |A∩B| natively.
+    << quadratic by construction) and computes |A∩B| natively. Tokens ride as
+    hashed 64-bit ids (``tk.hash_token_set``): ``array_intersect`` on longs
+    stays on the primitive fast path (~100x the string-array path) and the
+    shuffled pair rows are several times narrower.
     """
-    lt = tokened.select(
+    hashed = tokened.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
+    lt = hashed.select(
         F.col("doc_id").alias("left_id"),
-        F.col("tokens").alias("_ltok"),
-        F.size("tokens").alias("_lsz"),
+        F.col("_h").alias("_ltok"),
+        F.size("_h").alias("_lsz"),
     )
-    rt = tokened.select(
+    rt = hashed.select(
         F.col("doc_id").alias("right_id"),
-        F.col("tokens").alias("_rtok"),
-        F.size("tokens").alias("_rsz"),
+        F.col("_h").alias("_rtok"),
+        F.size("_h").alias("_rsz"),
     )
     scored = (
         pairs.join(lt, "left_id")

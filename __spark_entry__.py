@@ -355,7 +355,180 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", span_invariant_hash("spans").alias("span_hash"))
 
 
+def q_extended_suffix_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 ExtendedSuffixArraysBlocking: all substrings >= min_len as keys,
+    frequency-capped (reference ``.../ExtendedSuffixArrays.java:29-35``)."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    docs = _documents(spark, sf_dir).withColumn("side", F.lit("A"))
+    return B.extended_suffix_arrays_blocking(docs, min_len=6, max_frequency=39).select(
+        "block_key", "doc_id"
+    )
+
+
+def q_blast_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B15 BLAST: Pearson-X2 weights + node-max-fraction pruning. Weights are
+    rounded to 9 decimals before pruning so the Spark/DuckDB threshold
+    boundary agrees bit-for-bit (the X2 expression itself is exact-mirrored:
+    products and one division, no pow)."""
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    weighted = MB.weighted_pairs(blocks, "X2", clean_clean=False).withColumn(
+        "weight", F.round("weight", 9)
+    )
+    return MB.blast_prune(weighted, ratio=0.35)
+
+
+def q_metablocking_rcnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 Reciprocal CNP: pair survives only if within top-k for BOTH
+    endpoints (intersection semantics, reference grids
+    ``blockingWorkflowsL1L2L3/src/l1/TokenBlocking.java:37-39``)."""
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    return MB.cnp(MB.weighted_pairs(blocks, "CBS", clean_clean=False), k=3, reciprocal=True)
+
+
+def q_metablocking_ejs_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 EJS weighting + B11 CEP global top-K. EJS = JS * log10(V/deg_i) *
+    log10(V/deg_j) with V = |pair graph| and deg = per-side pair counts;
+    rounded to 9 decimals before ranking (float log products)."""
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    weighted = MB.weighted_pairs(blocks, "EJS", clean_clean=False).withColumn(
+        "weight", F.round("weight", 9)
+    )
+    return MB.cep(weighted, k=500)
+
+
+def q_qgrams_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B17 Default Q-Grams Workflow: QGrams(6) blocking -> BlockFiltering(0.5)
+    -> WEP over ECBS weights (reference
+    ``blockingWorkflows/.../DefaultQGramsBlocks.java:54-64``)."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    docs = _documents(spark, sf_dir).withColumn("side", F.lit("A"))
+    blocks = B.qgrams_blocking(docs, q=6)
+    filtered = B.block_filtering(blocks, 0.5, clean_clean=False)
+    return MB.wep(MB.weighted_pairs(filtered, "ECBS", clean_clean=False))
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E3 BlocksPerformance: PC/PQ/F1 of the purged+filtered token-blocking
+    candidate pairs against gold = exact-duplicate pairs (identical normalized
+    text). Single metrics row (reference ``.../TokenBlocking.java:85-88``)."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    documents = _documents(spark, sf_dir)
+    blocks = _doc_blocks(documents)
+    purged = B.block_purging(blocks, clean_clean=False)
+    filtered = B.block_filtering(purged, 0.5, clean_clean=False)
+    cand = B.pairs_from_blocks(filtered, clean_clean=False)
+    norm = documents.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("_h")
+    )
+    gold = (
+        norm.alias("a")
+        .join(norm.alias("b"), "_h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("left_id"), F.col("b.doc_id").alias("right_id"))
+    )
+    tp = cand.join(gold, ["left_id", "right_id"]).agg(F.count("*").alias("tp"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    ng = gold.agg(F.count("*").alias("n_gold"))
+    row = tp.crossJoin(nc).crossJoin(ng)
+    pc = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
+    pq = F.when(F.col("n_candidates") > 0, F.col("tp") / F.col("n_candidates")).otherwise(
+        F.lit(0.0)
+    )
+    return row.select(
+        "tp",
+        "n_candidates",
+        "n_gold",
+        pc.alias("pc"),
+        pq.alias("pq"),
+        F.when(pc + pq > 0, 2 * pc * pq / (pc + pq)).otherwise(F.lit(0.0)).alias("f1"),
+    )
+
+
+def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: range_search(cos >= 0.35) pair graph
+    -> connected components -> keep/drop assignment per vec_id."""
+    from continuousfilteringbenchmark_spark.operators.dedup import dedup_assignments
+    from continuousfilteringbenchmark_spark.operators.dense import range_search
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    pairs = range_search(vecs, None, threshold=0.35, id_col="vec_id")
+    out = dedup_assignments(vecs.select(F.col("vec_id").alias("doc_id")), pairs)
+    return out.select(F.col("doc_id").alias("vec_id"), "group_id", "keep")
+
+
+def q_schema_based_ejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 schema-based ε-join: project the 'title' span kind only
+    (P3 ``ProfileProcessing.reduceProfilesToAttribute``), then Jaccard >= 0.5
+    self-join over title tokens."""
+    from continuousfilteringbenchmark_spark.datamodel import documents_to_docs, project_kind
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+    from continuousfilteringbenchmark_spark.operators.joins import epsilon_join
+
+    docs = documents_to_docs(_documents(spark, sf_dir))
+    toks = docs.select(
+        "doc_id", tk.word_token_set(project_kind("spans", "title")).alias("tokens")
+    )
+    return epsilon_join(toks, None, 0.5, "jaccard")
+
+
+def q_incremental_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming incremental blocking (streaming/incremental.py):
+    micro-batch ingestion of the docs lift, stream-static join against the
+    accumulated block index. The oracle is the BATCH token-blocking pair set —
+    proving streaming == batch (exactly-once, no pairs lost or invented)."""
+    import tempfile
+
+    from continuousfilteringbenchmark_spark.datamodel import documents_to_docs
+    from continuousfilteringbenchmark_spark.streaming.incremental import (
+        run_incremental_blocking,
+    )
+
+    work = tempfile.mkdtemp(prefix="incr_blocking_")
+    input_dir = f"{work}/docs"
+    documents_to_docs(_documents(spark, sf_dir)).write.mode("overwrite").parquet(input_dir)
+    _, pairs_dir = run_incremental_blocking(spark, input_dir, f"{work}/run")
+    return spark.read.parquet(pairs_dir).select("left_id", "right_id").distinct()
+
+
 # ---- non-SQL-expressible (driver records rows-only checks) ----
+
+
+def q_extended_qgrams_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 ExtendedQGramsBlocking: combination keys of >= ceil(L*t) q-grams per
+    token (combinatorial pandas UDF; no tractable SQL oracle — rows-only)."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    docs = _documents(spark, sf_dir).withColumn("side", F.lit("A"))
+    return B.extended_qgrams_blocking(docs, q=6, threshold=0.95).select(
+        "block_key", "doc_id"
+    )
+
+
+def q_crosspolytope_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 cross-polytope LSH candidates over the embeddings table (seeded
+    random rotations; rows-only check like the hyperplane variant)."""
+    from continuousfilteringbenchmark_spark.operators.lsh import (
+        crosspolytope_bands,
+        lsh_candidates,
+    )
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    bands = crosspolytope_bands(vecs, n_tables=8, n_rotations=2, proj_dim=16, id_col="vec_id")
+    return lsh_candidates(bands)
 
 
 def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +620,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "span_invariant": q_span_invariant,
+        "extended_suffix_blocks": q_extended_suffix_blocks,
+        "blast_pairs": q_blast_pairs,
+        "metablocking_rcnp": q_metablocking_rcnp,
+        "metablocking_ejs_cep": q_metablocking_ejs_cep,
+        "qgrams_workflow": q_qgrams_workflow,
+        "blocking_quality": q_blocking_quality,
+        "embedding_dedup": q_embedding_dedup,
+        "schema_based_ejoin": q_schema_based_ejoin,
+        "incremental_blocking": q_incremental_blocking,
+        "extended_qgrams_blocks": q_extended_qgrams_blocks,
+        "crosspolytope_lsh": q_crosspolytope_lsh,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
@@ -1132,5 +1316,251 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    md5(p_title || chr(2) || p_media || p_body) AS span_hash
             FROM parts
+        """,
+        "extended_suffix_blocks": f"""
+            WITH {_TOKS},
+            sub AS (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN length(tok) < 6 THEN [tok]
+                            ELSE flatten(list_transform(generate_series(6, length(tok)),
+                                   ln -> list_transform(
+                                           generate_series(1, length(tok) - ln + 1),
+                                           i -> substring(tok, i, ln)))) END) AS block_key
+              FROM toks
+            ),
+            freq AS (SELECT block_key, count(*) AS f FROM sub GROUP BY block_key)
+            SELECT s.block_key, s.doc_id
+            FROM sub s JOIN freq USING (block_key) WHERE freq.f <= 39
+        """,
+        "blast_pairs": f"""
+            WITH {_TOKS},
+            nb AS (SELECT doc_id, count(DISTINCT tok) AS nb FROM toks GROUP BY doc_id),
+            nblocks AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS b FROM toks),
+            pb AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(count(*) AS DOUBLE) AS cbs
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            terms AS (
+              SELECT p.left_id, p.right_id,
+                     p.cbs AS o11, l.nb - p.cbs AS o12, r.nb - p.cbs AS o21,
+                     nblocks.b - l.nb - r.nb + p.cbs AS o22, nblocks.b AS b
+              FROM pb p
+              JOIN nb l ON l.doc_id = p.left_id
+              JOIN nb r ON r.doc_id = p.right_id
+              CROSS JOIN nblocks
+            ),
+            wt AS (
+              SELECT left_id, right_id,
+                     round(CASE WHEN (o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22) > 0
+                                THEN b * ((o11 * o22 - o12 * o21) * (o11 * o22 - o12 * o21))
+                                     / ((o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22))
+                                ELSE 0.0 END, 9) AS weight
+              FROM terms
+            ),
+            mx AS (
+              SELECT node, max(weight) AS m FROM (
+                SELECT left_id AS node, weight FROM wt
+                UNION ALL
+                SELECT right_id AS node, weight FROM wt
+              ) GROUP BY node
+            )
+            SELECT w.left_id, w.right_id, w.weight
+            FROM wt w
+            JOIN mx l ON l.node = w.left_id
+            JOIN mx r ON r.node = w.right_id
+            WHERE w.weight >= 0.35 * (l.m + r.m) / 2.0
+        """,
+        "metablocking_rcnp": f"""
+            WITH {_TOKS},
+            wt AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            ne AS (
+              SELECT left_id AS node, left_id, right_id, weight, right_id AS other
+              FROM wt
+              UNION ALL
+              SELECT right_id AS node, left_id, right_id, weight, left_id AS other
+              FROM wt
+            ),
+            flags AS (
+              SELECT left_id, right_id, weight,
+                     CASE WHEN row_number() OVER (PARTITION BY node
+                                                  ORDER BY weight DESC, other ASC) <= 3
+                          THEN 1 ELSE 0 END AS pass
+              FROM ne
+            )
+            SELECT left_id, right_id, weight
+            FROM flags
+            GROUP BY left_id, right_id, weight
+            HAVING sum(pass) >= 2
+        """,
+        "metablocking_ejs_cep": f"""
+            WITH {_TOKS},
+            nb AS (SELECT doc_id, count(DISTINCT tok) AS nb FROM toks GROUP BY doc_id),
+            pb AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(count(*) AS DOUBLE) AS cbs
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            vsz AS (SELECT CAST(greatest(count(*), 1) AS DOUBLE) AS v FROM pb),
+            dl AS (SELECT left_id, count(*) AS deg_i FROM pb GROUP BY left_id),
+            dr AS (SELECT right_id, count(*) AS deg_j FROM pb GROUP BY right_id),
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     round(p.cbs / (l.nb + r.nb - p.cbs)
+                           * log10(vsz.v / dl.deg_i)
+                           * log10(vsz.v / dr.deg_j), 9) AS weight
+              FROM pb p
+              JOIN nb l ON l.doc_id = p.left_id
+              JOIN nb r ON r.doc_id = p.right_id
+              JOIN dl ON dl.left_id = p.left_id
+              JOIN dr ON dr.right_id = p.right_id
+              CROSS JOIN vsz
+            ),
+            rk AS (
+              SELECT left_id, right_id, weight,
+                     row_number() OVER (ORDER BY weight DESC, left_id ASC,
+                                        right_id ASC) AS rn
+              FROM wt
+            )
+            SELECT left_id, right_id, weight FROM rk WHERE rn <= 500
+        """,
+        "qgrams_workflow": f"""
+            WITH {_TOKS},
+            qb AS (
+              SELECT DISTINCT doc_id,
+                     unnest(CASE WHEN length(tok) < 6 THEN [tok]
+                            ELSE list_transform(generate_series(1, length(tok) - 5),
+                                                i -> substring(tok, i, 6)) END) AS block_key
+              FROM toks
+            ),
+            qstats AS (
+              SELECT block_key,
+                     CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS comp
+              FROM qb GROUP BY block_key
+            ),
+            qranked AS (
+              SELECT p.doc_id, p.block_key,
+                     row_number() OVER (PARTITION BY p.doc_id
+                                        ORDER BY s.comp ASC, p.block_key ASC) AS rk,
+                     count(*)     OVER (PARTITION BY p.doc_id) AS nb
+              FROM qb p JOIN qstats s USING (block_key)
+            ),
+            qf AS (
+              SELECT doc_id, block_key FROM qranked
+              WHERE rk <= CAST(round(CAST(nb AS DOUBLE) * 0.5) AS INT)
+            ),
+            fnb AS (SELECT doc_id, count(DISTINCT block_key) AS nb FROM qf GROUP BY doc_id),
+            fb AS (SELECT CAST(count(DISTINCT block_key) AS DOUBLE) AS b FROM qf),
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     p.cbs * log10(fb.b / l.nb) * log10(fb.b / r.nb) AS weight
+              FROM (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       CAST(count(*) AS DOUBLE) AS cbs
+                FROM qf a JOIN qf b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+              ) p
+              JOIN fnb l ON l.doc_id = p.left_id
+              JOIN fnb r ON r.doc_id = p.right_id
+              CROSS JOIN fb
+            ),
+            m AS (SELECT avg(weight) AS mw FROM wt)
+            SELECT left_id, right_id, weight
+            FROM wt CROSS JOIN m WHERE weight >= mw
+        """,
+        "blocking_quality": f"""
+            WITH {_TOKS}, {_BSTATS}, {_PURGE}, {_FILTER},
+            cand AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM filtered a
+              JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            ),
+            nh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+            gold AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM nh a JOIN nh b ON a.h = b.h AND a.doc_id < b.doc_id
+            ),
+            counts AS (
+              SELECT (SELECT count(*) FROM cand JOIN gold USING (left_id, right_id)) AS tp,
+                     (SELECT count(*) FROM cand) AS n_candidates,
+                     (SELECT count(*) FROM gold) AS n_gold
+            )
+            SELECT tp, n_candidates, n_gold,
+                   CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END AS pc,
+                   CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END AS pq,
+                   CASE WHEN (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END)
+                           + (CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END) > 0
+                        THEN 2 * (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END)
+                               * (CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END)
+                             / ((CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END)
+                                + (CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END))
+                        ELSE 0.0 END AS f1
+            FROM counts
+        """,
+        "embedding_dedup": f"""
+            WITH RECURSIVE {_NVEC},
+            prs AS (
+              SELECT q.vec_id AS src, c.vec_id AS dst
+              FROM nv q JOIN nv c ON q.vec_id < c.vec_id
+              WHERE list_sum(list_transform(generate_series(1, len(q.u)),
+                                            i -> q.u[i] * c.u[i])) >= 0.35
+            ),
+            sym AS (
+              SELECT src, dst FROM prs
+              UNION ALL
+              SELECT dst, src FROM prs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            cc AS (SELECT a AS vec_id, min(b) AS gid FROM reach GROUP BY a)
+            SELECT v.vec_id,
+                   coalesce(cc.gid, v.vec_id) AS group_id,
+                   coalesce(cc.gid, v.vec_id) = v.vec_id AS keep
+            FROM v LEFT JOIN cc ON cc.vec_id = v.vec_id
+        """,
+        "schema_based_ejoin": r"""
+            WITH tt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     lower(trim(array_to_string((str_split(text, ' '))[1:6], ' '))) AS s
+              FROM documents
+            ),
+            toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(s, '[\W_]+'),
+                                          t -> t <> '')) AS tok
+                FROM tt
+              )
+            ),
+            tsz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.left_id, c.right_id,
+                   CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) AS score
+            FROM common c
+            JOIN tsz l ON l.doc_id = c.left_id
+            JOIN tsz r ON r.doc_id = c.right_id
+            WHERE CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) >= 0.5
+        """,
+        "incremental_blocking": f"""
+            WITH {_TOKS}
+            SELECT DISTINCT
+                   least(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS left_id,
+                   greatest(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS right_id
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
         """,
     }

@@ -184,6 +184,57 @@ def hyperplane_bands(
     )
 
 
+def crosspolytope_bands(
+    vecs: DataFrame,
+    n_tables: int = 8,
+    n_rotations: int = 2,
+    proj_dim: int = 16,
+    dim: int | None = None,
+    seed: int = 5721840,  # same pinned seed family as the FALCONN scripts
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N4 cross-polytope LSH signatures (FALCONN CrossPolytope family,
+    ``nnmethods/falconn/crosspolytopeLSH/D4.py``; scalability config l=128,k=2
+    ``nnmethods/scalabilityAnalysis/CP_LSH.py:44-53``).
+
+    Per table: ``n_rotations`` pseudo-random rotations (Gaussian projections
+    to ``proj_dim``); each hash = index of the largest-|coordinate| axis with
+    its sign (a vertex of the cross-polytope, 2*proj_dim outcomes); the
+    table's bucket is the base-(2*proj_dim) concatenation. Multiprobe is
+    replaced by more tables (SURVEY.md N3/N4 contract).
+
+    Output: (doc_id, band int, bucket long).
+    """
+    if dim is None:
+        dim = len(vecs.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    rots = rng.normal(size=(n_tables, n_rotations, proj_dim, dim)).astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(vec: pd.Series) -> pd.Series:
+        out = []
+        base = 2 * proj_dim
+        for v in vec:
+            x = np.asarray(v, dtype=np.float64)
+            n = np.linalg.norm(x)
+            if n > 0:
+                x = x / n
+            proj = np.einsum("trpd,d->trp", rots, x)  # (tables, rotations, proj_dim)
+            axis = np.abs(proj).argmax(axis=2)  # (tables, rotations)
+            sign = (np.take_along_axis(proj, axis[:, :, None], axis=2)[:, :, 0] < 0).astype(
+                np.int64
+            )
+            vertex = axis * 2 + sign  # in [0, 2*proj_dim)
+            weights = base ** np.arange(n_rotations, dtype=np.int64)
+            out.append((vertex * weights).sum(axis=1).tolist())
+        return pd.Series(out)
+
+    return vecs.select(F.col(id_col).alias("doc_id"), buckets(F.col(vec_col)).alias("_b")).select(
+        "doc_id", F.posexplode("_b").alias("band", "bucket")
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 

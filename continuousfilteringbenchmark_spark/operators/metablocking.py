@@ -130,7 +130,9 @@ def weighted_pairs(
         o12 = F.col("bi") - cbs
         o21 = F.col("bj") - cbs
         o22 = F.lit(B) - F.col("bi") - F.col("bj") + cbs
-        num = F.lit(B) * F.pow(o11 * o22 - o12 * o21, F.lit(2.0))
+        # square via multiplication (not pow): bit-exact and oracle-mirrorable
+        diff = o11 * o22 - o12 * o21
+        num = F.lit(B) * (diff * diff)
         den = (o11 + o12) * (o21 + o22) * (o11 + o21) * (o12 + o22)
         w = F.when(den > 0, num / den).otherwise(F.lit(0.0))
     return pairs.select("left_id", "right_id", w.cast("double").alias("weight"))
@@ -220,10 +222,9 @@ def cnp(
     return agg.where(F.col("_n_pass") >= need).select("left_id", "right_id", "weight")
 
 
-def blast(blocks: DataFrame, ratio: float = 0.35, clean_clean: bool = True) -> DataFrame:
-    """B15 BLAST (Simonini et al. VLDB'16): X2 weights + node pruning with
-    threshold = ratio * (local_max_i + local_max_j) / 2."""
-    weighted = weighted_pairs(blocks, "X2", clean_clean)
+def blast_prune(weighted: DataFrame, ratio: float = 0.35) -> DataFrame:
+    """BLAST's pruning rule on an already-weighted pair table: keep an edge
+    iff weight >= ratio * (local_max_i + local_max_j) / 2."""
     ne = _node_edges(weighted)
     maxes = ne.groupBy("node").agg(F.max("weight").alias("node_max"))
     lm = maxes.select(F.col("node").alias("left_id"), F.col("node_max").alias("_ml"))
@@ -234,6 +235,14 @@ def blast(blocks: DataFrame, ratio: float = 0.35, clean_clean: bool = True) -> D
         .where(F.col("weight") >= F.lit(ratio) * (F.col("_ml") + F.col("_mr")) / 2.0)
         .select("left_id", "right_id", "weight")
     )
+
+
+def blast(blocks: DataFrame, ratio: float = 0.35, clean_clean: bool = True) -> DataFrame:
+    """B15 BLAST (Simonini et al. VLDB'16): X2 weights + node pruning with
+    threshold = ratio * (local_max_i + local_max_j) / 2
+    (``ComparisonCleaningMethod.BLAST`` selected at reference
+    ``blockingWorkflowsL1L2L3/src/l1/TokenBlocking.java:35``)."""
+    return blast_prune(weighted_pairs(blocks, "X2", clean_clean), ratio)
 
 
 def prune(

@@ -153,7 +153,12 @@ def dirty_corpus(
 
 
 def distributed_dirty_docs(
-    spark: SparkSession, n_entities: int, seed: int = 42, partitions: int = 64
+    spark: SparkSession,
+    n_entities: int,
+    seed: int = 42,
+    partitions: int = 64,
+    vocab_multiplier: int = 997,
+    rare_token_rate: float = 0.8,
 ) -> DataFrame:
     """Scale-bench generator: the Dirty-ER recipe of ``dirty_corpus`` run
     data-parallel via ``mapInPandas`` so corpora of 10^5-10^6 docs generate in
@@ -162,7 +167,14 @@ def distributed_dirty_docs(
     is identical at any parallelism/partitioning (north-rule determinism).
 
     Models the reference's synthetic Dirty scalability sets
-    (``/root/reference/README.md:88-96``, 10K-2M entities).
+    (``/root/reference/README.md:88-96``, 10K-2M entities) with a **Zipf-like
+    vocabulary**: ``rare_token_rate`` of each title's tokens are suffixed into
+    a ``62 * vocab_multiplier`` rare-token space (the discriminative long tail
+    blocking relies on at corpus scale), the rest stay in the tiny head
+    vocabulary (the stop-word-like mega-blocks that purging must kill). With
+    the raw 62-word vocabulary every block has ~n/62 members and the pair
+    space is quadratic regardless of blocking — a degenerate workload no real
+    corpus resembles.
     """
     import pandas as pd
 
@@ -173,6 +185,19 @@ def distributed_dirty_docs(
                 eid = int(eid)
                 rng = random.Random(seed * 1_000_003 + eid)
                 ent = _make_entity(rng, eid)
+                ent["title"] = [
+                    f"{t}{rng.randrange(vocab_multiplier)}"
+                    if rng.random() < rare_token_rate
+                    else t
+                    for t in ent["title"]
+                ]
+                # name space likewise: ~26*200 first / 24*200 last names —
+                # 650 distinct name tokens at 10^5 docs would make every
+                # name block a mega-block, which no real corpus has
+                ent["authors"] = [
+                    f"{a.split()[0]}{rng.randrange(200)} {a.split()[1]}{rng.randrange(200)}"
+                    for a in ent["authors"]
+                ]
                 n_copies = 1
                 while n_copies < 4 and rng.random() < 0.45:
                     n_copies += 1

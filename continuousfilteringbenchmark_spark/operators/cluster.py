@@ -60,12 +60,21 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 30, check_every: int = 2
+) -> DataFrame:
     """Connected components of an undirected pair graph.
 
     Input:  DataFrame(left_id, right_id)
     Output: DataFrame(doc_id, cluster_id) for every node appearing in any
             pair; cluster_id = min doc_id of the component.
+
+    ``check_every`` batches the checkpoint + convergence checksum to every
+    k-th round: each checkpoint/checksum is a driver-coordinated job whose
+    latency (not data volume — the edge set is tiny by the time this runs)
+    dominates the loop on multi-executor clusters; star contraction converges
+    in O(log^2 n) rounds regardless, so coarser detection costs at most k-1
+    extra cheap rounds while halving the job count.
     """
     edges = (
         pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
@@ -74,12 +83,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     prev = _checksum(edges)
-    for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        cur = _checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+    for i in range(max_iter):
+        edges = _small_star(_large_star(edges))
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            edges = edges.localCheckpoint(eager=True)
+            cur = _checksum(edges)
+            if cur == prev:
+                break
+            prev = cur
 
     # fixpoint is a star forest: edges (node -> component min)
     assign = (

@@ -53,7 +53,10 @@ def docs_with_tokens(docs: DataFrame, side_from_prefix: bool = True) -> DataFram
 
 
 def score_pairs(
-    pairs: DataFrame, tokened: DataFrame, sim: str = "jaccard"
+    pairs: DataFrame,
+    tokened: DataFrame,
+    sim: str = "jaccard",
+    broadcast_rows: int | None = 3_000_000,
 ) -> DataFrame:
     """Score candidate (left_id, right_id) pairs with exact set similarity.
 
@@ -62,6 +65,14 @@ def score_pairs(
     hashed 64-bit ids (``tk.hash_token_set``): ``array_intersect`` on longs
     stays on the primitive fast path (~100x the string-array path) and the
     shuffled pair rows are several times narrower.
+
+    Join strategy: when the token table has <= ``broadcast_rows`` rows it is
+    broadcast, so the (pairs x wide-array) intermediate never crosses
+    executors — shuffling 4.5M pair rows carrying two ~500B arrays through
+    two shuffle joins costs more than shipping the whole doc-side table once
+    (measured 3.5x on the scale bench at 4 executors). Beyond the cap (the
+    10^12-doc regime, where the doc table can't broadcast) it falls back to
+    plain shuffle joins, where production co-locates via doc_id bucketing.
     """
     hashed = tokened.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
     lt = hashed.select(
@@ -74,6 +85,8 @@ def score_pairs(
         F.col("_h").alias("_rtok"),
         F.size("_h").alias("_rsz"),
     )
+    if broadcast_rows is not None and tokened.count() <= broadcast_rows:
+        lt, rt = F.broadcast(lt), F.broadcast(rt)
     scored = (
         pairs.join(lt, "left_id")
         .join(rt, "right_id")

@@ -20,12 +20,18 @@ def get_spark(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
-    """Build (or reuse) a local SparkSession with the engine's config profile."""
+    """Build (or reuse) a local SparkSession with the engine's config profile.
+
+    ``master`` overrides the default ``local[cpus]`` — the scaling bench passes
+    ``local-cluster[N, cores, mem]`` to get real separate executor JVMs
+    (multi-executor shuffle paths, per-executor memory, process isolation).
+    """
     cpus = cpus or DEFAULT_CPUS
     shuffle_partitions = shuffle_partitions or max(cpus, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

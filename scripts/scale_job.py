@@ -22,13 +22,41 @@ from pyspark.sql import functions as F
 def main() -> None:
     path = sys.argv[1]
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_EXECUTORS=N selects a local-cluster master with N separate
+    # 2-core executor JVMs (the N -> 4N *executor* axis of the north rule);
+    # unset -> single-JVM local[cpus] (thread axis)
+    n_exec = os.environ.get("SPARK_GRAFT_EXECUTORS")
 
     from continuousfilteringbenchmark_spark.session import get_spark
     from continuousfilteringbenchmark_spark.operators import blocking as B
     from continuousfilteringbenchmark_spark.operators.cluster import clusters_with_singletons
     from continuousfilteringbenchmark_spark.plans.pipeline import docs_with_tokens, score_pairs
 
-    spark = get_spark("scale_job", cpus=cpus, shuffle_partitions=cpus)
+    if n_exec:
+        cores_per_exec = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "2"))
+        cpus = int(n_exec) * cores_per_exec
+        # tmpfs shuffle dirs: isolates the N-vs-4N comparison from overlay-fs
+        # disk behavior (a real cluster has NVMe shuffle volumes per node)
+        local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+        os.makedirs(local_dir, exist_ok=True)
+        spark = get_spark(
+            "scale_job",
+            shuffle_partitions=cpus * 2,
+            master=f"local-cluster[{n_exec},{cores_per_exec},6144]",
+            extra_conf={
+                "spark.executor.memory": "5g",
+                "spark.local.dir": local_dir,
+                # cap each JVM's GC/JIT/netty pool sizing at its task-slot
+                # count: on a 32-vCPU host every executor would otherwise
+                # spawn ~32-wide service pools, and the aggregate thread
+                # count (not the task slots) is what exhausts the scheduler
+                "spark.executor.extraJavaOptions": f"-XX:ActiveProcessorCount={cores_per_exec + 1}",
+                "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=2",
+                "spark.driver.memory": "8g",
+            },
+        )
+    else:
+        spark = get_spark("scale_job", cpus=cpus, shuffle_partitions=cpus)
     docs = spark.read.parquet(path)
     n_docs = docs.count()  # warm parquet footers / JVM before the timers
 
@@ -42,11 +70,15 @@ def main() -> None:
         return df
 
     t_all = time.perf_counter()
+    t0 = time.perf_counter()
     tokened = docs_with_tokens(docs, side_from_prefix=False).persist()
     counts["docs"] = tokened.count()
+    timings["tokenize"] = round(time.perf_counter() - t0, 3)
 
     blocks = B.standard_blocking(tokened.withColumn("side", F.lit("A")), "text")
-    purged = B.block_purging(blocks, clean_clean=False)
+    t0 = time.perf_counter()
+    purged = B.block_purging(blocks, clean_clean=False)  # runs the histogram job eagerly
+    timings["purge_cutoff"] = round(time.perf_counter() - t0, 3)
     filtered = B.block_filtering(purged, 0.5, clean_clean=False).persist()
     stage("blocking", filtered)
 
@@ -61,8 +93,10 @@ def main() -> None:
     counts["matches"] = matches.count()
     timings["scoring"] = round(time.perf_counter() - t0, 3)
 
-    clusters = clusters_with_singletons(tokened.select("doc_id"), matches)
     t0 = time.perf_counter()
+    # construction is INSIDE the timer: the large-star/small-star loop runs
+    # eager jobs (localCheckpoint + convergence checksums) while building
+    clusters = clusters_with_singletons(tokened.select("doc_id"), matches)
     counts["clusters"] = clusters.select("cluster_id").distinct().count()
     timings["clustering"] = round(time.perf_counter() - t0, 3)
 
@@ -71,6 +105,7 @@ def main() -> None:
         json.dumps(
             {
                 "cpus": cpus,
+                "executors": int(n_exec) if n_exec else None,
                 "n_docs": n_docs,
                 "total_sec": total,
                 "stages": timings,

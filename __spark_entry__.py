@@ -202,12 +202,30 @@ def q_knn_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_range_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 range search, exact mode: the brute-force correctness baseline
+    (oracle = the same quadratic scan). The scale path is q_range_search_lsh."""
     from continuousfilteringbenchmark_spark.operators.dense import range_search
 
     vecs = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    return range_search(vecs, None, threshold=0.35, id_col="vec_id")
+    return range_search(vecs, None, threshold=0.35, id_col="vec_id", method="exact")
+
+
+def q_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 range search through the sub-quadratic default path: hyperplane-LSH
+    candidates (16 tables x 4 bits, seeded) -> exact cosine verify >= 0.35.
+    The oracle replays the identical md5-derived hyperplanes + verify in SQL,
+    so this row certifies the scale path exactly (not just its row count)."""
+    from continuousfilteringbenchmark_spark.operators.dense import range_search
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return range_search(
+        vecs, None, threshold=0.35, id_col="vec_id",
+        method="lsh", lsh_tables=16, lsh_bits=4,
+    )
 
 
 def q_qgrams_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -392,8 +410,11 @@ def q_metablocking_rcnp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_metablocking_ejs_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 EJS weighting + B11 CEP global top-K. EJS = JS * log10(V/deg_i) *
-    log10(V/deg_j) with V = |pair graph| and deg = per-side pair counts;
-    rounded to 9 decimals before ranking (float log products)."""
+    log10(V/deg_j) with V = |pair graph| and deg = the NODE's distinct
+    candidates across both roles (published definition — per-role counts
+    would undercount in Dirty ER where canonical left<right ordering splits
+    a node's edges over both columns); rounded to 9 decimals before ranking
+    (float log products)."""
     from continuousfilteringbenchmark_spark.operators import metablocking as MB
 
     blocks = _doc_blocks(_documents(spark, sf_dir))
@@ -413,7 +434,13 @@ def q_qgrams_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir).withColumn("side", F.lit("A"))
     blocks = B.qgrams_blocking(docs, q=6)
     filtered = B.block_filtering(blocks, 0.5, clean_clean=False)
-    return MB.wep(MB.weighted_pairs(filtered, "ECBS", clean_clean=False))
+    # 9-decimal rounding of the float ECBS weights AND the WEP mean: the mean
+    # is an order-dependent float sum, so boundary pairs would otherwise flip
+    # between Spark and the oracle (same discipline as blast_pairs/ejs_cep)
+    weighted = MB.weighted_pairs(filtered, "ECBS", clean_clean=False).withColumn(
+        "weight", F.round("weight", 9)
+    )
+    return MB.wep(weighted, round_digits=9)
 
 
 def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -455,15 +482,21 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup dedup: range_search(cos >= 0.35) pair graph
-    -> connected components -> keep/drop assignment per vec_id."""
+    """Embedding-cosine near-dup dedup through the SCALE path: hyperplane-LSH
+    candidates -> exact cosine verify (cos >= 0.35) -> connected components
+    -> keep/drop assignment per vec_id. No cross join anywhere in the plan
+    (asserted by tests); the oracle replays the LSH candidate set + verify +
+    transitive closure in SQL."""
     from continuousfilteringbenchmark_spark.operators.dedup import dedup_assignments
     from continuousfilteringbenchmark_spark.operators.dense import range_search
 
     vecs = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    pairs = range_search(vecs, None, threshold=0.35, id_col="vec_id")
+    pairs = range_search(
+        vecs, None, threshold=0.35, id_col="vec_id",
+        method="lsh", lsh_tables=16, lsh_bits=4,
+    )
     out = dedup_assignments(vecs.select(F.col("vec_id").alias("doc_id")), pairs)
     return out.select(F.col("doc_id").alias("vec_id"), "group_id", "keep")
 
@@ -502,12 +535,64 @@ def q_incremental_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pairs_dir).select("left_id", "right_id").distinct()
 
 
-# ---- non-SQL-expressible (driver records rows-only checks) ----
+def q_jedai_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 the JedAI default workflow, composed end-to-end: StandardBlocking
+    -> ComparisonsBasedBlockPurging -> BlockFiltering(0.5) -> CNP with the
+    derived per-node budget k = max(1, floor(BC/|E| + .5) - 1) over JS
+    weights (reference ``blockingWorkflowsL1L2L3/src/defaultmethods/
+    JedAIWorkflow.java:4-19`` — imports CardinalityNodePruning(JS)); the
+    reference's flagship baseline pipeline."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    documents = _documents(spark, sf_dir)
+    blocks = _doc_blocks(documents)
+    purged = B.block_purging(blocks, clean_clean=False)
+    filtered = B.block_filtering(purged, 0.5, clean_clean=False)
+    weighted = MB.weighted_pairs(filtered, "JS", clean_clean=False)
+    return MB.cnp(weighted, blocks=filtered)
+
+
+def q_topk_join_fivegram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 the reference's DEFAULT kNN-join operating point: K=5 over
+    CHARACTER_FIVEGRAMS_MULTISET with cosine similarity
+    (``joins/src/joins/DefaultTopKSchemaAgnosticJoin.java:27-41`` — K at
+    :28, tokenizer at :39, cosine hardcoded at :115). Exercises P8
+    (char-n-gram multiset occurrence suffixing) under an exact oracle."""
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+    from continuousfilteringbenchmark_spark.operators.joins import topk_join
+
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", tk.char_ngram_multiset("text", 5).alias("tokens")
+    )
+    return topk_join(toks, None, k=5, sim="cosine")
+
+
+def q_schema_based_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 schema-based top-k join: project the 'title' span kind (P3), then
+    tie-inclusive top-3 cosine over title word sets (reference
+    ``joins/src/joins/TopKSchemaBasedJoin.java:28-47`` — best single
+    attribute per dataset, schema-based K grid)."""
+    from continuousfilteringbenchmark_spark.datamodel import documents_to_docs, project_kind
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+    from continuousfilteringbenchmark_spark.operators.joins import topk_join
+
+    docs = documents_to_docs(_documents(spark, sf_dir))
+    toks = docs.select(
+        "doc_id", tk.word_token_set(project_kind("spans", "title")).alias("tokens")
+    )
+    return topk_join(toks, None, k=3, sim="cosine")
+
+
+# ---- seeded-signature operators: oracles replay the exact same md5-derived
+# integer math in SQL (see the fragment builders below) ----
 
 
 def q_extended_qgrams_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3 ExtendedQGramsBlocking: combination keys of >= ceil(L*t) q-grams per
-    token (combinatorial pandas UDF; no tractable SQL oracle — rows-only)."""
+    """B3 ExtendedQGramsBlocking: combination keys of >= ceil(L*t) q-grams
+    per token (combinatorial pandas UDF). With t=0.95 the combination sizes
+    degenerate to {full key} for L<20 and {full, leave-one-out} for L>=20 —
+    which is what the SQL oracle enumerates."""
     from continuousfilteringbenchmark_spark.operators import blocking as B
 
     docs = _documents(spark, sf_dir).withColumn("side", F.lit("A"))
@@ -517,8 +602,8 @@ def q_extended_qgrams_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_crosspolytope_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """N4 cross-polytope LSH candidates over the embeddings table (seeded
-    random rotations; rows-only check like the hyperplane variant)."""
+    """N4 cross-polytope LSH candidates over the embeddings table
+    (md5-derived rotations — replayed exactly by the SQL oracle)."""
     from continuousfilteringbenchmark_spark.operators.lsh import (
         crosspolytope_bands,
         lsh_candidates,
@@ -545,6 +630,9 @@ def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs -> connected components -> keep/drop per
+    doc. Oracle: the same seeded signature math + recursive transitive
+    closure in SQL (ids stay numeric so min-representative selection agrees)."""
     from continuousfilteringbenchmark_spark.operators.dedup import (
         dedup_assignments,
         minhash_near_duplicates,
@@ -552,9 +640,7 @@ def q_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     documents = _documents(spark, sf_dir)
     pairs = minhash_near_duplicates(documents, threshold=0.7, n=5)
-    return dedup_assignments(
-        documents.select(F.col("doc_id").cast("string").alias("doc_id")), pairs
-    )
+    return dedup_assignments(documents.select("doc_id"), pairs)
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,21 +662,36 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 IVF top-k in FULL-PROBE mode (nprobe = n_cells): probing every
+    k-means cell makes the candidate set complete, so the output must equal
+    the exact top-5 — which is what the oracle computes. This certifies the
+    IVF plumbing (cell assignment, probe routing, per-query re-rank) exactly;
+    the approximate regime (nprobe < n_cells) is covered by a recall unit
+    test + the N8 tuner test (k-means centroids aren't SQL-replayable)."""
     from continuousfilteringbenchmark_spark.operators.dense import knn_ivf
 
     vecs = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    return knn_ivf(vecs, vecs, k=5, n_cells=8, nprobe=3, id_col="vec_id")
+    return knn_ivf(vecs, vecs, k=5, n_cells=8, nprobe=8, id_col="vec_id")
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: media spans -> synthesized media rows (payload =
+    pure function of the ref) -> mapInPandas feature extraction. Output is
+    EXPLODED to scalar columns (media_ref, media_type, pos, value) so the
+    driver's canonicalizer can sort/hash it (an array column crashed it in
+    round 1), and the md5-derived fake features are recomputed exactly by
+    the DuckDB oracle."""
     from continuousfilteringbenchmark_spark.datamodel import documents_to_docs
     from continuousfilteringbenchmark_spark.operators import multimodal as MM
 
     docs = documents_to_docs(_documents(spark, sf_dir))
     media = MM.synthesize_media_table(MM.media_refs_from_docs(docs))
-    return MM.extract_features(media, dim=16)
+    feats = MM.extract_features(media, dim=16)
+    return feats.select(
+        "media_ref", "media_type", F.posexplode("feature").alias("pos", "value")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -629,6 +730,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "schema_based_ejoin": q_schema_based_ejoin,
         "incremental_blocking": q_incremental_blocking,
+        "range_search_lsh": q_range_search_lsh,
+        "jedai_workflow": q_jedai_workflow,
+        "topk_join_fivegram": q_topk_join_fivegram,
+        "schema_based_topk": q_schema_based_topk,
         "extended_qgrams_blocks": q_extended_qgrams_blocks,
         "crosspolytope_lsh": q_crosspolytope_lsh,
         "minhash_dedup": q_minhash_dedup,
@@ -856,6 +961,216 @@ ccpurged AS (
   SELECT t.tok AS block_key, t.doc_id, t.is_a
   FROM cctoks t JOIN ccbstats b ON b.block_key = t.tok CROSS JOIN ccthr
   WHERE b.comp <= ccthr.t
+)
+"""
+
+
+# ---- seeded-signature fragment builders ---------------------------------
+# These replay the engine's md5-derived integer math (operators/lsh.py) in
+# DuckDB SQL: token/plane hashes come from md5 hex substrings, universal
+# hashes use coefficients small enough that every product stays exact in
+# int64, so candidate sets match the Spark operators bit-for-bit.
+
+
+def _minhash_sql(
+    n: int = 5,
+    threshold: float = 0.7,
+    n_bands: int = 32,
+    n_buckets: int = 4096,
+    seed: int = 42,
+) -> str:
+    """CTE chain mirroring ``minhash_near_duplicates`` (char-n-gram set ->
+    seeded minhash bands -> co-bucket candidates -> exact-Jaccard verify).
+    Exposes ``mh_scored(left_id, right_id, score)``."""
+    from continuousfilteringbenchmark_spark.operators.lsh import (
+        _LARGE_PRIME,
+        _MINHASH_P,
+        _hash_params,
+        rows_per_band,
+    )
+
+    r = rows_per_band(n_bands, threshold)
+    n_hashes = n_bands * r
+    a, b = _hash_params(n_hashes, seed)
+    A = "[" + ",".join(str(int(v)) for v in a) + "]"
+    B = "[" + ",".join(str(int(v)) for v in b) + "]"
+    return f"""
+mh_g AS (
+  SELECT doc_id, CASE WHEN length(s) < {n} THEN [s]
+         ELSE list_distinct(list_transform(generate_series(1, length(s) - {n - 1}),
+                                           i -> substring(s, i, {n}))) END AS gl
+  FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+),
+mh_sz AS (SELECT doc_id, len(gl) AS sz FROM mh_g),
+mh_x AS (
+  SELECT doc_id,
+         list_transform(gl, g -> CAST('0x' || substring(md5(g), 1, 10) AS BIGINT)) AS xs
+  FROM mh_g WHERE len(gl) > 0
+),
+mh_ab AS MATERIALIZED (
+  SELECT ii.i AS i, ({A})[ii.i] AS a, ({B})[ii.i] AS b
+  FROM generate_series(1, {n_hashes}) ii(i)
+),
+mh_sig AS (
+  -- (token x hash-function) cross product with a grouped min: the
+  -- vectorized shape DuckDB executes fast (per-row list lambdas rebuild the
+  -- {n_hashes}-element coefficient literal per evaluation — 100x slower)
+  SELECT t.doc_id, ab.i, min((ab.a * t.x + ab.b) % {_MINHASH_P}) AS s
+  FROM (SELECT doc_id, unnest(xs) AS x FROM mh_x) t
+  CROSS JOIN mh_ab ab
+  GROUP BY t.doc_id, ab.i
+),
+mh_bkt AS (
+  SELECT doc_id, CAST((i - 1) // {r} AS INT) AS band,
+         ((sum(s) % {_MINHASH_P}) * {_LARGE_PRIME}) % {n_buckets} AS bucket
+  FROM mh_sig GROUP BY doc_id, band
+),
+mh_cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM mh_bkt a
+  JOIN mh_bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+mh_tok AS (SELECT doc_id, unnest(gl) AS g FROM mh_g),
+mh_common AS (
+  SELECT c.left_id, c.right_id, count(*) AS cc
+  FROM mh_cand c
+  JOIN mh_tok a ON a.doc_id = c.left_id
+  JOIN mh_tok b ON b.doc_id = c.right_id AND a.g = b.g
+  GROUP BY c.left_id, c.right_id
+),
+mh_scored AS (
+  SELECT m.left_id, m.right_id,
+         CAST(m.cc AS DOUBLE) / (l.sz + r.sz - m.cc) AS score
+  FROM mh_common m
+  JOIN mh_sz l ON l.doc_id = m.left_id
+  JOIN mh_sz r ON r.doc_id = m.right_id
+  WHERE CAST(m.cc AS DOUBLE) / (l.sz + r.sz - m.cc) >= {threshold}
+)"""
+
+
+def _hyperplane_sql(
+    n_tables: int, n_bits: int, seed: int = 5721840, dim: int = 64, center: bool = True
+) -> str:
+    """CTE chain mirroring ``hyperplane_bands`` + ``lsh_candidates`` over the
+    normalized embeddings (requires the ``nv``/``v`` CTEs from _NVEC).
+    Exposes ``hp_cand(left_id, right_id)``."""
+    if center:
+        mean_cte = (
+            f"hp_m AS (SELECT d.d, avg(v.e[d.d + 1]) AS m "
+            f"FROM v CROSS JOIN generate_series(0, {dim - 1}) d(d) GROUP BY d.d)"
+        )
+    else:
+        mean_cte = (
+            f"hp_m AS (SELECT d.d, 0.0 AS m FROM generate_series(0, {dim - 1}) d(d))"
+        )
+    return f"""
+{mean_cte},
+hp_w AS (
+  SELECT t.t, b.b, d.d,
+         CAST('0x' || substring(md5('hp:{seed}:' || CAST(t.t AS VARCHAR) || ':'
+                                    || CAST(b.b AS VARCHAR) || ':'
+                                    || CAST(d.d AS VARCHAR)), 1, 10) AS BIGINT)
+           / 1099511627776.0 - 0.5 AS w
+  FROM generate_series(0, {n_tables - 1}) t(t)
+  CROSS JOIN generate_series(0, {n_bits - 1}) b(b)
+  CROSS JOIN generate_series(0, {dim - 1}) d(d)
+),
+hp_x AS (
+  SELECT nv.vec_id, m.d, nv.u[m.d + 1] - m.m AS x
+  FROM nv CROSS JOIN hp_m m
+),
+hp_dot AS (
+  SELECT x.vec_id, w.t, w.b, sum(w.w * x.x) AS dot
+  FROM hp_x x JOIN hp_w w ON w.d = x.d
+  GROUP BY x.vec_id, w.t, w.b
+),
+hp_bkt AS (
+  SELECT vec_id, t AS band,
+         CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+  FROM hp_dot GROUP BY vec_id, t
+),
+hp_cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM hp_bkt a
+  JOIN hp_bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)"""
+
+
+def _crosspolytope_sql(
+    n_tables: int = 8,
+    n_rotations: int = 2,
+    proj_dim: int = 16,
+    seed: int = 5721840,
+    dim: int = 64,
+) -> str:
+    """CTE chain mirroring ``crosspolytope_bands`` + ``lsh_candidates``
+    (requires _NVEC). Exposes ``cp_cand(left_id, right_id)``."""
+    base = 2 * proj_dim
+    return f"""
+cp_w AS (
+  SELECT t.t, r.r, p.p, d.d,
+         CAST('0x' || substring(md5('cp:{seed}:' || CAST(t.t AS VARCHAR) || ':'
+                                    || CAST(r.r AS VARCHAR) || ':'
+                                    || CAST(p.p AS VARCHAR) || ':'
+                                    || CAST(d.d AS VARCHAR)), 1, 10) AS BIGINT)
+           / 1099511627776.0 - 0.5 AS w
+  FROM generate_series(0, {n_tables - 1}) t(t)
+  CROSS JOIN generate_series(0, {n_rotations - 1}) r(r)
+  CROSS JOIN generate_series(0, {proj_dim - 1}) p(p)
+  CROSS JOIN generate_series(0, {dim - 1}) d(d)
+),
+cp_proj AS (
+  SELECT x.vec_id, w.t, w.r, w.p, sum(w.w * x.x) AS pj
+  FROM (SELECT nv.vec_id, d.d, nv.u[d.d + 1] AS x
+        FROM nv CROSS JOIN generate_series(0, {dim - 1}) d(d)) x
+  JOIN cp_w w ON w.d = x.d
+  GROUP BY x.vec_id, w.t, w.r, w.p
+),
+cp_v AS (
+  SELECT vec_id, t, r, p * 2 + CASE WHEN pj < 0 THEN 1 ELSE 0 END AS vertex
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, t, r
+                                     ORDER BY abs(pj) DESC, p ASC) AS rn
+        FROM cp_proj)
+  WHERE rn = 1
+),
+cp_bkt AS (
+  SELECT vec_id, t AS band,
+         CAST(sum(vertex * CAST(power({base}, r) AS BIGINT)) AS BIGINT) AS bucket
+  FROM cp_v GROUP BY vec_id, t
+),
+cp_cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM cp_bkt a
+  JOIN cp_bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)"""
+
+
+# SimHash fingerprints as two unsigned 32-bit halves (mirrors
+# operators/lsh.py simhash64: md5 hex halves per token, +/-1 bit votes).
+# The chunk blocking is lossless for hamming <= 3, so the oracle is the
+# brute-force all-pairs filter. Requires _TOKS.
+_SIMHASH = r"""
+sh AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS lo
+  FROM toks
+),
+shv AS (
+  SELECT doc_id, ii.i,
+         2 * sum(CASE WHEN ii.i < 32 THEN (lo >> ii.i) & 1
+                      ELSE (hi >> (ii.i - 32)) & 1 END) - count(*) AS vote
+  FROM sh CROSS JOIN generate_series(0, 63) ii(i)
+  GROUP BY doc_id, ii.i
+),
+shfp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN vote > 0 AND i < 32
+                       THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS fp_lo,
+         CAST(sum(CASE WHEN vote > 0 AND i >= 32
+                       THEN CAST(1 AS BIGINT) << (i - 32) ELSE 0 END) AS BIGINT) AS fp_hi
+  FROM shv GROUP BY doc_id
 )
 """
 
@@ -1409,18 +1724,23 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.doc_id, b.doc_id
             ),
             vsz AS (SELECT CAST(greatest(count(*), 1) AS DOUBLE) AS v FROM pb),
-            dl AS (SELECT left_id, count(*) AS deg_i FROM pb GROUP BY left_id),
-            dr AS (SELECT right_id, count(*) AS deg_j FROM pb GROUP BY right_id),
+            deg AS (
+              SELECT node, count(*) AS deg FROM (
+                SELECT left_id AS node FROM pb
+                UNION ALL
+                SELECT right_id AS node FROM pb
+              ) GROUP BY node
+            ),
             wt AS (
               SELECT p.left_id, p.right_id,
                      round(p.cbs / (l.nb + r.nb - p.cbs)
-                           * log10(vsz.v / dl.deg_i)
-                           * log10(vsz.v / dr.deg_j), 9) AS weight
+                           * log10(vsz.v / dl.deg)
+                           * log10(vsz.v / dr.deg), 9) AS weight
               FROM pb p
               JOIN nb l ON l.doc_id = p.left_id
               JOIN nb r ON r.doc_id = p.right_id
-              JOIN dl ON dl.left_id = p.left_id
-              JOIN dr ON dr.right_id = p.right_id
+              JOIN deg dl ON dl.node = p.left_id
+              JOIN deg dr ON dr.node = p.right_id
               CROSS JOIN vsz
             ),
             rk AS (
@@ -1460,7 +1780,7 @@ def oracle_sql() -> dict[str, str]:
             fb AS (SELECT CAST(count(DISTINCT block_key) AS DOUBLE) AS b FROM qf),
             wt AS (
               SELECT p.left_id, p.right_id,
-                     p.cbs * log10(fb.b / l.nb) * log10(fb.b / r.nb) AS weight
+                     round(p.cbs * log10(fb.b / l.nb) * log10(fb.b / r.nb), 9) AS weight
               FROM (
                 SELECT a.doc_id AS left_id, b.doc_id AS right_id,
                        CAST(count(*) AS DOUBLE) AS cbs
@@ -1471,7 +1791,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN fnb r ON r.doc_id = p.right_id
               CROSS JOIN fb
             ),
-            m AS (SELECT avg(weight) AS mw FROM wt)
+            m AS (SELECT round(avg(weight), 9) AS mw FROM wt)
             SELECT left_id, right_id, weight
             FROM wt CROSS JOIN m WHERE weight >= mw
         """,
@@ -1503,31 +1823,6 @@ def oracle_sql() -> dict[str, str]:
                                 + (CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END))
                         ELSE 0.0 END AS f1
             FROM counts
-        """,
-        "embedding_dedup": f"""
-            WITH RECURSIVE {_NVEC},
-            prs AS (
-              SELECT q.vec_id AS src, c.vec_id AS dst
-              FROM nv q JOIN nv c ON q.vec_id < c.vec_id
-              WHERE list_sum(list_transform(generate_series(1, len(q.u)),
-                                            i -> q.u[i] * c.u[i])) >= 0.35
-            ),
-            sym AS (
-              SELECT src, dst FROM prs
-              UNION ALL
-              SELECT dst, src FROM prs
-            ),
-            nodes AS (SELECT DISTINCT src AS node FROM sym),
-            reach AS (
-              SELECT node AS a, node AS b FROM nodes
-              UNION
-              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
-            ),
-            cc AS (SELECT a AS vec_id, min(b) AS gid FROM reach GROUP BY a)
-            SELECT v.vec_id,
-                   coalesce(cc.gid, v.vec_id) AS group_id,
-                   coalesce(cc.gid, v.vec_id) = v.vec_id AS keep
-            FROM v LEFT JOIN cc ON cc.vec_id = v.vec_id
         """,
         "schema_based_ejoin": r"""
             WITH tt AS (
@@ -1562,5 +1857,280 @@ def oracle_sql() -> dict[str, str]:
                    least(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS left_id,
                    greatest(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS right_id
             FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        """,
+        "minhash_dedup": f"""
+            WITH {_minhash_sql(n=5, threshold=0.7)}
+            SELECT left_id, right_id, score FROM mh_scored
+        """,
+        "dedup_assignments": f"""
+            WITH RECURSIVE {_minhash_sql(n=5, threshold=0.7)},
+            sym AS (
+              SELECT left_id AS src, right_id AS dst FROM mh_scored
+              UNION ALL
+              SELECT right_id, left_id FROM mh_scored
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            cc AS (SELECT a AS doc_id, min(b) AS gid FROM reach GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(cc.gid, d.doc_id) AS group_id,
+                   coalesce(cc.gid, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        """,
+        "simhash_dedup": f"""
+            WITH {_TOKS}, {_SIMHASH}
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                   CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+                        + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+            FROM shfp a JOIN shfp b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+                  + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+        """,
+        "hyperplane_lsh": f"""
+            WITH {_NVEC}, {_hyperplane_sql(n_tables=8, n_bits=12)}
+            SELECT left_id, right_id FROM hp_cand
+        """,
+        "crosspolytope_lsh": f"""
+            WITH {_NVEC}, {_crosspolytope_sql(n_tables=8, n_rotations=2, proj_dim=16)}
+            SELECT left_id, right_id FROM cp_cand
+        """,
+        "range_search_lsh": f"""
+            WITH {_NVEC}, {_hyperplane_sql(n_tables=16, n_bits=4)}
+            SELECT c.left_id, c.right_id,
+                   list_sum(list_transform(generate_series(1, len(a.u)),
+                                           i -> a.u[i] * b.u[i])) AS score
+            FROM hp_cand c
+            JOIN nv a ON a.vec_id = c.left_id
+            JOIN nv b ON b.vec_id = c.right_id
+            WHERE list_sum(list_transform(generate_series(1, len(a.u)),
+                                          i -> a.u[i] * b.u[i])) >= 0.35
+        """,
+        "embedding_dedup": f"""
+            WITH RECURSIVE {_NVEC}, {_hyperplane_sql(n_tables=16, n_bits=4)},
+            prs AS (
+              SELECT c.left_id AS src, c.right_id AS dst
+              FROM hp_cand c
+              JOIN nv a ON a.vec_id = c.left_id
+              JOIN nv b ON b.vec_id = c.right_id
+              WHERE list_sum(list_transform(generate_series(1, len(a.u)),
+                                            i -> a.u[i] * b.u[i])) >= 0.35
+            ),
+            sym AS (
+              SELECT src, dst FROM prs
+              UNION ALL
+              SELECT dst, src FROM prs
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            cc AS (SELECT a AS vec_id, min(b) AS gid FROM reach GROUP BY a)
+            SELECT v.vec_id,
+                   coalesce(cc.gid, v.vec_id) AS group_id,
+                   coalesce(cc.gid, v.vec_id) = v.vec_id AS keep
+            FROM v LEFT JOIN cc ON cc.vec_id = v.vec_id
+        """,
+        "knn_ivf_embeddings": f"""
+            WITH {_NVEC},
+            sc AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     list_sum(list_transform(generate_series(1, len(q.u)),
+                                             i -> q.u[i] * c.u[i])) AS score
+              FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, corpus_id ASC) AS rn
+              FROM sc
+            )
+            SELECT query_id, corpus_id, score FROM rk WHERE rn <= 5
+        """,
+        "extended_qgrams_blocks": f"""
+            WITH {_TOKS},
+            eqg_full AS (
+              SELECT doc_id,
+                     CASE WHEN length(tok) < 6 THEN tok
+                          ELSE array_to_string(
+                                 list_transform(generate_series(1, length(tok) - 5),
+                                                i -> substring(tok, i, 6)), '') END
+                       AS block_key
+              FROM toks
+            ),
+            eqg_gl AS (
+              SELECT doc_id,
+                     list_transform(generate_series(1, length(tok) - 5),
+                                    i -> substring(tok, i, 6)) AS gl
+              FROM toks WHERE length(tok) >= 6
+            ),
+            -- leave-one-out keys exist only when ceil(0.95*L) <= L-1 (L >= 20)
+            eqg_l1o AS (
+              SELECT doc_id,
+                     array_to_string(list_concat(gl[1 : ii.i - 1],
+                                                 gl[ii.i + 1 : len(gl)]), '') AS block_key
+              FROM eqg_gl CROSS JOIN generate_series(1, 64) ii(i)
+              WHERE ii.i <= len(gl) AND ceil(0.95 * len(gl)) <= len(gl) - 1
+            )
+            SELECT DISTINCT doc_id, block_key FROM (
+              SELECT * FROM eqg_full UNION ALL SELECT * FROM eqg_l1o
+            ) WHERE block_key <> ''
+        """,
+        "media_features": """
+            SELECT m.media_ref, 'image' AS media_type,
+                   CAST(ii.i AS INT) AS pos,
+                   CAST('0x' || substring(md5(repeat(md5(m.media_ref), 4)
+                                              || ':' || CAST(ii.i AS VARCHAR)),
+                                          1, 10) AS BIGINT)
+                     / 1099511627776.0 AS value
+            FROM (SELECT DISTINCT 'ref://img/' || CAST(doc_id AS VARCHAR) AS media_ref
+                  FROM documents WHERE doc_id % 3 = 0) m
+            CROSS JOIN generate_series(0, 15) ii(i)
+        """,
+        "jedai_workflow": f"""
+            WITH {_TOKS}, {_BSTATS}, {_PURGE}, {_FILTER},
+            fnb AS (SELECT doc_id, count(*) AS nb FROM filtered GROUP BY doc_id),
+            kval AS (
+              SELECT greatest(1, CAST(floor(
+                       CAST((SELECT count(*) FROM filtered) AS DOUBLE)
+                       / greatest((SELECT count(DISTINCT doc_id) FROM filtered), 1)
+                       + 0.5) AS BIGINT) - 1) AS k
+            ),
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     CAST(p.cbs AS DOUBLE) / (l.nb + r.nb - p.cbs) AS weight
+              FROM (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS cbs
+                FROM filtered a
+                JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+              ) p
+              JOIN fnb l ON l.doc_id = p.left_id
+              JOIN fnb r ON r.doc_id = p.right_id
+            ),
+            ne AS (
+              SELECT left_id AS node, left_id, right_id, weight, right_id AS other
+              FROM wt
+              UNION ALL
+              SELECT right_id AS node, left_id, right_id, weight, left_id AS other
+              FROM wt
+            ),
+            flags AS (
+              SELECT left_id, right_id, weight,
+                     CASE WHEN row_number() OVER (PARTITION BY node
+                                                  ORDER BY weight DESC, other ASC)
+                               <= (SELECT k FROM kval)
+                          THEN 1 ELSE 0 END AS pass
+              FROM ne
+            )
+            SELECT left_id, right_id, weight
+            FROM flags
+            GROUP BY left_id, right_id, weight
+            HAVING sum(pass) >= 1
+        """,
+        "topk_join_fivegram": r"""
+            WITH f5 AS (
+              SELECT doc_id, CASE WHEN length(s) < 5 THEN [s]
+                     ELSE list_transform(generate_series(1, length(s) - 4),
+                                         i -> substring(s, i, 5)) END AS gl
+              FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+            ),
+            fpos AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(gl)),
+                                           i -> struct_pack(tok := gl[i], pos := i))) AS s
+              FROM f5
+            ),
+            m5 AS (
+              SELECT doc_id,
+                     s.tok || CAST(row_number() OVER (PARTITION BY doc_id, s.tok
+                                                      ORDER BY s.pos) - 1 AS VARCHAR) AS tok
+              FROM fpos
+            ),
+            m5sz AS (SELECT doc_id, count(*) AS sz FROM m5 GROUP BY doc_id),
+            pc AS (
+              SELECT a.doc_id AS tgt_id, b.doc_id AS src_id, count(*) AS c
+              FROM m5 a JOIN m5 b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            sc AS (
+              SELECT tgt_id, src_id,
+                     CAST(c AS DOUBLE)
+                       / sqrt(CAST(ss.sz AS DOUBLE) * CAST(ts.sz AS DOUBLE)) AS score
+              FROM pc
+              JOIN m5sz ts ON ts.doc_id = tgt_id
+              JOIN m5sz ss ON ss.doc_id = src_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                           ORDER BY score DESC, src_id ASC) AS rn
+              FROM sc
+            ),
+            kth AS (
+              SELECT tgt_id, max(CASE WHEN rn = 5 THEN score END) AS kv
+              FROM rk GROUP BY tgt_id
+            ),
+            kept AS (
+              SELECT s.src_id, s.tgt_id, s.score
+              FROM sc s JOIN kth k USING (tgt_id)
+              WHERE k.kv IS NULL OR s.score >= k.kv
+            )
+            SELECT least(src_id, tgt_id) AS left_id,
+                   greatest(src_id, tgt_id) AS right_id,
+                   max(score) AS score
+            FROM kept
+            GROUP BY least(src_id, tgt_id), greatest(src_id, tgt_id)
+        """,
+        "schema_based_topk": r"""
+            WITH tt AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     lower(trim(array_to_string((str_split(text, ' '))[1:6], ' '))) AS s
+              FROM documents
+            ),
+            toks AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(s, '[\W_]+'),
+                                          t -> t <> '')) AS tok
+                FROM tt
+              )
+            ),
+            tsz AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+            pc AS (
+              SELECT a.doc_id AS tgt_id, b.doc_id AS src_id, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            sc AS (
+              SELECT tgt_id, src_id,
+                     CAST(c AS DOUBLE)
+                       / sqrt(CAST(ss.sz AS DOUBLE) * CAST(ts.sz AS DOUBLE)) AS score
+              FROM pc
+              JOIN tsz ts ON ts.doc_id = tgt_id
+              JOIN tsz ss ON ss.doc_id = src_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                           ORDER BY score DESC, src_id ASC) AS rn
+              FROM sc
+            ),
+            kth AS (
+              SELECT tgt_id, max(CASE WHEN rn = 3 THEN score END) AS kv
+              FROM rk GROUP BY tgt_id
+            ),
+            kept AS (
+              SELECT s.src_id, s.tgt_id, s.score
+              FROM sc s JOIN kth k USING (tgt_id)
+              WHERE k.kv IS NULL OR s.score >= k.kv
+            )
+            SELECT least(src_id, tgt_id) AS left_id,
+                   greatest(src_id, tgt_id) AS right_id,
+                   max(score) AS score
+            FROM kept
+            GROUP BY least(src_id, tgt_id), greatest(src_id, tgt_id)
         """,
     }

@@ -259,6 +259,9 @@ def pairs_from_blocks(
     clean_clean: bool,
     salt_cap: int | None = 10_000,
     with_block_key: bool = False,
+    drop_log: list | None = None,
+    store=None,
+    stage: str = "pairs_from_blocks",
 ) -> DataFrame:
     """B8 ComparisonPropagation: candidate pairs compared once regardless of
     how many blocks they co-occur in (reference
@@ -273,10 +276,24 @@ def pairs_from_blocks(
     quadratic block, so emission stays correct because the join is per
     block_key and Spark streams the sorted runs — the real guard is purging,
     and ``salt_cap`` is an assertion-style hard cap that *drops* pathological
-    keys (logged via count) rather than letting one key OOM an executor.
+    keys rather than letting one key OOM an executor. A dropped mega-block
+    changes the answer, so drops must never be silent: pass ``store`` (a
+    ``plans.stages.StageStore``) to append a ``{stage}__salt_cap_dropped``
+    metrics row, and/or ``drop_log`` (a list) to receive
+    ``(n_dropped_keys, n_dropped_rows)`` — both run one tiny aggregate over
+    the block-size table only when a cap is set.
     """
     if salt_cap is not None:
         sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
+        if drop_log is not None or store is not None:
+            over = sizes.where(F.col("_n") > salt_cap).agg(
+                F.count("*").alias("keys"), F.coalesce(F.sum("_n"), F.lit(0)).alias("rows")
+            ).collect()[0]
+            dropped = (int(over["keys"]), int(over["rows"]))
+            if drop_log is not None:
+                drop_log.append(dropped)
+            if store is not None and dropped[0] > 0:
+                store.append_metric(f"{stage}__salt_cap_dropped", rows=dropped[1])
         keep = sizes.where(F.col("_n") <= salt_cap).select("block_key")
         blocks = blocks.join(F.broadcast(keep), "block_key", "left_semi")
 

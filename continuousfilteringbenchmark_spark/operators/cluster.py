@@ -61,7 +61,7 @@ def _checksum(edges: DataFrame) -> tuple[int, int]:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 30, check_every: int = 2
+    pairs: DataFrame, max_iter: int = 30, check_every: int = 4
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -69,12 +69,15 @@ def connected_components(
     Output: DataFrame(doc_id, cluster_id) for every node appearing in any
             pair; cluster_id = min doc_id of the component.
 
-    ``check_every`` batches the checkpoint + convergence checksum to every
-    k-th round: each checkpoint/checksum is a driver-coordinated job whose
-    latency (not data volume — the edge set is tiny by the time this runs)
-    dominates the loop on multi-executor clusters; star contraction converges
-    in O(log^2 n) rounds regardless, so coarser detection costs at most k-1
-    extra cheap rounds while halving the job count.
+    The loop checkpoints EVERY round but checksums only every
+    ``check_every``-th: the checkpoint is what truncates lineage — each
+    large-star/small-star round references its input ~12x, so skipping
+    checkpoints grows the logical plan ~12^k between cuts and Catalyst
+    re-analysis becomes the bottleneck (measured: minutes of pure driver CPU
+    at k=4). The convergence checksum, by contrast, is just an extra driver
+    job whose latency CAN be amortized: star contraction converges in
+    O(log^2 n) rounds regardless, so coarser detection costs at most k-1
+    extra cheap rounds while cutting the job count.
     """
     edges = (
         pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
@@ -84,9 +87,8 @@ def connected_components(
     )
     prev = _checksum(edges)
     for i in range(max_iter):
-        edges = _small_star(_large_star(edges))
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         if (i + 1) % check_every == 0 or i == max_iter - 1:
-            edges = edges.localCheckpoint(eager=True)
             cur = _checksum(edges)
             if cur == prev:
                 break

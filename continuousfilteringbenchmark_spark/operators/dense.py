@@ -133,9 +133,24 @@ def range_search(
     threshold: float,
     vec_col: str = "vec",
     id_col: str = "doc_id",
+    method: str = "lsh",
+    lsh_tables: int = 16,
+    lsh_bits: int = 4,
+    lsh_seed: int = 5721840,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (FAISS range_search parity;
-    ``corpus=None`` -> self-join dedup with left<right)."""
+    """All pairs with cosine >= threshold (FAISS range_search parity,
+    ``nnmethods/faiss/D4sa.py:123-141``; ``corpus=None`` -> self-join dedup
+    with left<right).
+
+    ``method='lsh'`` (default — the only shape that survives 100x scale):
+    hyperplane-LSH candidate generation (operators/lsh.py N3) followed by an
+    exact cosine verify of the candidates; sub-quadratic, recall tunable via
+    ``lsh_tables``/``lsh_bits`` (unit-tested; the N8 recall tuner finds the
+    config for a PC target). ``method='exact'`` is the brute-force cross
+    join — the correctness baseline, quadratic, test-scale only.
+    """
+    if method not in ("exact", "lsh"):
+        raise ValueError("method must be 'exact' or 'lsh'")
     self_join = corpus is None
     q = queries.select(F.col(id_col).alias("left_id"), _norm(vec_col).alias("_qv"))
     c = (
@@ -143,11 +158,35 @@ def range_search(
         if self_join
         else corpus.select(F.col(id_col).alias("right_id"), _norm(vec_col).alias("_cv"))
     )
-    pairs = q.crossJoin(c)
-    if self_join:
-        pairs = pairs.where(F.col("left_id") < F.col("right_id"))
+    if method == "exact":
+        pairs = q.crossJoin(c)
+        if self_join:
+            pairs = pairs.where(F.col("left_id") < F.col("right_id"))
+        else:
+            pairs = pairs.where(F.col("left_id") != F.col("right_id"))
     else:
-        pairs = pairs.where(F.col("left_id") != F.col("right_id"))
+        from .lsh import hyperplane_bands, lsh_candidates
+
+        # mean-centering needs ONE mean for both sides; the self-join case
+        # centers on its own corpus, the two-table case skips centering so
+        # both band tables hash in the same frame
+        if self_join:
+            bands = hyperplane_bands(
+                queries, lsh_tables, lsh_bits, seed=lsh_seed,
+                vec_col=vec_col, id_col=id_col, center=True,
+            )
+            cand = lsh_candidates(bands)
+        else:
+            qb = hyperplane_bands(
+                queries, lsh_tables, lsh_bits, seed=lsh_seed,
+                vec_col=vec_col, id_col=id_col, center=False,
+            )
+            cb = hyperplane_bands(
+                corpus, lsh_tables, lsh_bits, seed=lsh_seed,
+                vec_col=vec_col, id_col=id_col, center=False,
+            )
+            cand = lsh_candidates(qb, cb).where(F.col("left_id") != F.col("right_id"))
+        pairs = cand.join(q, "left_id").join(c, "right_id")
     pairs = pairs.withColumn(
         "score",
         F.aggregate(F.zip_with("_qv", "_cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x),

@@ -14,18 +14,26 @@ implementation ``nnmethods/scalabilityAnalysis/MH_LSH.py``:
 DETERMINISM: the reference's Java MinHash seeds with wall-clock time
 (``nnmethods/minhashLSH/src/minhash/MinHash.java:14`` — the anti-pattern
 SURVEY.md risk #6 bans); we pin an explicit seed so runs are reproducible
-across partitionings. Token -> int uses crc32 (stable across processes,
-unlike python's salted ``hash``).
+across partitionings.
 
-All signatures are computed in vectorized pandas UDFs (Arrow batches); the
-band join + distinct is plain DataFrame code — Spark's shuffle is the
-bucket table.
+ORACLE-EXACT ARITHMETIC: every quantity is integer math reproducible
+bit-for-bit by a SQL oracle on any engine with ``md5``:
+
+* token -> int: the first 10 hex chars (40 bits) of ``md5(token)``;
+* universal hash ``(a*x + b) mod P`` with ``a, b < 2^20`` drawn from a
+  seeded ``RandomState`` and ``P = 2^31 - 1`` — products stay < 2^61, so
+  int64 arithmetic never wraps (numpy, Spark ANSI longs and DuckDB BIGINT
+  all agree exactly);
+* band bucket = ``((sum(sig_band) mod P) * LARGE_PRIME) mod n_buckets``.
+
+The whole signature pipeline is native Spark SQL (array expressions inside
+whole-stage codegen — zero Python in the hot path); the band join +
+distinct is plain DataFrame code — Spark's shuffle is the bucket table.
 """
 
 from __future__ import annotations
 
 import math
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -33,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_MERSENNE = (1 << 61) - 1
+_MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31-1: sig values fit 31 bits
 _LARGE_PRIME = 433494437  # same role as MH_LSH.py's LARGE_PRIME band mixer
 
 
@@ -43,10 +51,21 @@ def rows_per_band(n_bands: int, threshold: float = 0.5) -> int:
 
 
 def _hash_params(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded universal-hash coefficients, bounded to 20 bits so that
+    a*x + b < 2^61 for 40-bit token hashes (exact in int64 everywhere)."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_hashes, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    a = rng.randint(1, 1 << 20, size=n_hashes, dtype=np.int64)
+    b = rng.randint(0, 1 << 20, size=n_hashes, dtype=np.int64)
     return a, b
+
+
+def token_hash40(tok):
+    """40-bit integer hash of a token: first 10 hex chars of md5.
+
+    Chosen over xxhash64/crc32 because md5 is the one hash every SQL engine
+    computes identically — the DuckDB oracle replays it verbatim.
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 10), 16, 10).cast("long")
 
 
 def minhash_bands(
@@ -63,33 +82,49 @@ def minhash_bands(
 
     Output: DataFrame(doc_id, band int, bucket long). Parity with
     ``MH_LSH.py`` modulo the pinned seed; bucket = sum(band rows) * prime
-    % n_buckets exactly as ``MH_LSH.py:73-86``.
+    % n_buckets exactly as ``MH_LSH.py:73-86`` (with a mod-P fold of the
+    band sum first so the product can never overflow int64).
+
+    Pure Spark SQL expressions: O(n_hashes * n_tokens) per row inside
+    whole-stage codegen; docs with empty token sets emit no bands.
     """
     r = rows or rows_per_band(n_bands, threshold)
     n_hashes = n_bands * r
     a, b = _hash_params(n_hashes, seed)
+    a_lit = F.array(*[F.lit(int(v)) for v in a])
+    b_lit = F.array(*[F.lit(int(v)) for v in b])
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def band_buckets(tokens: pd.Series) -> pd.Series:
-        out = []
-        for toks in tokens:
-            if toks is None or len(toks) == 0:
-                out.append([])
-                continue
-            xs = np.array(
-                [zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.int64
+    xs = F.transform(F.col(tokens_col), token_hash40)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_xs"),
+                lambda x: (F.element_at(a_lit, i + 1).cast("long") * x
+                           + F.element_at(b_lit, i + 1)) % F.lit(_MINHASH_P),
             )
-            # sig[i] = min over tokens of (a_i * x + b_i) mod P  (MH_LSH.py:57-71)
-            hashed = (xs[None, :] * a[:, None] + b[:, None]) % _MERSENNE
-            sig = hashed.min(axis=1)
-            bands = sig.reshape(n_bands, r)
-            buckets = (bands.sum(axis=1) * _LARGE_PRIME) % n_buckets
-            out.append(buckets.tolist())
-        return pd.Series(out)
-
+        ),
+    )
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda j: (
+            (
+                F.aggregate(
+                    F.slice(F.col("_sig"), j * r + 1, r),
+                    F.lit(0).cast("long"),
+                    lambda acc, s: acc + s,
+                )
+                % F.lit(_MINHASH_P)
+            )
+            * F.lit(_LARGE_PRIME)
+        )
+        % F.lit(n_buckets),
+    )
     return (
-        df.select(F.col(id_col).alias("doc_id"), band_buckets(F.col(tokens_col)).alias("_b"))
-        .select("doc_id", F.posexplode("_b").alias("band", "bucket"))
+        df.select(F.col(id_col).alias("doc_id"), xs.alias("_xs"))
+        .where(F.size("_xs") > 0)
+        .withColumn("_sig", sig)
+        .select("doc_id", F.posexplode(buckets).alias("band", "bucket"))
     )
 
 
@@ -135,6 +170,26 @@ def minhash_lsh_join(
 # ------------------------------------------------------------ hyperplane LSH
 
 
+def hash_uniforms(tag: str, shape: tuple[int, ...]) -> np.ndarray:
+    """Deterministic pseudo-random array in [-0.5, 0.5): element (i0,i1,..)
+    = (first 10 hex chars of md5(f"{tag}:{i0}:{i1}:..") as int) / 2^40 - 0.5.
+
+    Used instead of seeded Gaussian draws for the LSH projections so a SQL
+    oracle can regenerate the exact same planes from the md5 formula (no
+    giant literal arrays, no RNG-stream coupling). For sign/argmax LSH the
+    direction distribution only needs to be symmetric about 0 — the uniform
+    cube's mild diagonal bias trades a little hash quality (covered by the
+    recall unit tests) for bit-exact cross-engine reproducibility.
+    """
+    import hashlib
+
+    flat = np.empty(int(np.prod(shape)), dtype=np.float64)
+    for n, idx in enumerate(np.ndindex(*shape)):
+        key = tag + ":" + ":".join(str(i) for i in idx)
+        flat[n] = int(hashlib.md5(key.encode()).hexdigest()[:10], 16) / 2**40 - 0.5
+    return flat.reshape(shape)
+
+
 def hyperplane_bands(
     vecs: DataFrame,
     n_tables: int = 8,
@@ -150,13 +205,14 @@ def hyperplane_bands(
     Mirrors FALCONN hyperplane hashing (``nnmethods/falconn/hyperplaneLSH/
     D4.py:29-51,77-106``: normalize -> mean-center -> hash). Multiprobe is
     replaced by more tables (same output-quality contract, SURVEY.md N3).
+    Planes are md5-derived (``hash_uniforms``) so the DuckDB oracle replays
+    them exactly.
 
     Output: (doc_id, band int, bucket long).
     """
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, n_bits, dim)).astype(np.float64)
+    planes = hash_uniforms(f"hp:{seed}", (n_tables, n_bits, dim))
     mean_vec = None
     if center:
         mean_row = vecs.select(
@@ -202,14 +258,14 @@ def crosspolytope_bands(
     to ``proj_dim``); each hash = index of the largest-|coordinate| axis with
     its sign (a vertex of the cross-polytope, 2*proj_dim outcomes); the
     table's bucket is the base-(2*proj_dim) concatenation. Multiprobe is
-    replaced by more tables (SURVEY.md N3/N4 contract).
+    replaced by more tables (SURVEY.md N3/N4 contract). Rotations are
+    md5-derived (``hash_uniforms``) for exact oracle parity.
 
     Output: (doc_id, band int, bucket long).
     """
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    rots = rng.normal(size=(n_tables, n_rotations, proj_dim, dim)).astype(np.float64)
+    rots = hash_uniforms(f"cp:{seed}", (n_tables, n_rotations, proj_dim, dim))
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(vec: pd.Series) -> pd.Series:
@@ -241,32 +297,58 @@ def crosspolytope_bands(
 def simhash64(
     df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
 ) -> DataFrame:
-    """64-bit SimHash per doc (near-dup fingerprint for the dedup family).
+    """64-bit SimHash per doc (near-dup fingerprint for the dedup family),
+    carried as two unsigned 32-bit halves in long columns.
 
-    Each token hashes to 64 bits (two crc32 halves); bit-wise +1/-1 vote;
-    fingerprint = sign pattern. Vectorized pandas UDF.
-    Output: (doc_id, simhash long).
+    Each token hashes to 64 bits — the first/second 8 hex chars of its md5
+    (exactly reproducible by the SQL oracle); bit-wise +1/-1 vote over the
+    token set; fingerprint = sign pattern. The halved representation keeps
+    every value non-negative, so the arithmetic is identical across Spark
+    ANSI longs, numpy and DuckDB BIGINT (no sign-bit juggling).
+
+    Pure Spark SQL expressions (whole-stage codegen, no Python). Docs with
+    empty token sets are dropped (their fingerprint would be the degenerate
+    all-zero pattern, co-bucketing every empty doc).
+
+    Output: (doc_id, fp_hi long, fp_lo long) — each in [0, 2^32).
     """
+    zero64 = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    @F.pandas_udf(T.LongType())
-    def fp(tokens: pd.Series) -> pd.Series:
-        out = []
-        for toks in tokens:
-            if toks is None or len(toks) == 0:
-                out.append(0)
-                continue
-            votes = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                bt = t.encode("utf-8")
-                h = np.uint64((zlib.crc32(bt) << 32) | zlib.crc32(b"\x00" + bt))
-                bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-                votes += 2 * bits - 1
-            fp_bits = (votes > 0).astype(np.uint64)
-            val = int((fp_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pd.Series(out, dtype="int64")
+    def tok_bits(t):
+        md = F.md5(t)
+        hi = F.conv(F.substring(md, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(md, 9, 8), 16, 10).cast("long")
+        idx = F.sequence(F.lit(0), F.lit(31))
+        return F.concat(
+            F.transform(idx, lambda i: F.call_function("shiftright", lo, i) % 2),
+            F.transform(idx, lambda i: F.call_function("shiftright", hi, i) % 2),
+        )
 
-    return df.select(F.col(id_col).alias("doc_id"), fp(F.col(tokens_col)).alias("simhash"))
+    votes = F.aggregate(
+        F.col(tokens_col),
+        zero64,
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, v: a + 2 * v - 1),
+    )
+
+    def fp_half(offset: int):
+        one = F.lit(1).cast("long")
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("_votes"), offset + 1, 32),
+                F.sequence(F.lit(0), F.lit(31)),
+                lambda v, i: F.when(v > 0, F.call_function("shiftleft", one, i)).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+
+    return (
+        df.where(F.size(F.col(tokens_col)) > 0)
+        .select(F.col(id_col).alias("doc_id"), votes.alias("_votes"))
+        .select("doc_id", fp_half(32).alias("fp_hi"), fp_half(0).alias("fp_lo"))
+    )
 
 
 def simhash_near_duplicates(
@@ -276,40 +358,53 @@ def simhash_near_duplicates(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit fingerprint chunks (pigeonhole:
-    hamming <= n_chunks-1 guarantees one exact chunk match), verify hamming
-    distance natively with bit_count(xor).
+    """Near-dup pairs by SimHash: block on fingerprint chunks (pigeonhole:
+    hamming <= n_chunks-1 guarantees at least one exact chunk match), verify
+    hamming distance natively with bit_count(xor).
+
+    Because the chunk blocking is lossless for the final ``hamming <=
+    max_hamming`` filter (requires ``max_hamming <= n_chunks - 1``), the
+    output equals the brute-force all-pairs answer — which is exactly what
+    the DuckDB oracle computes.
 
     Output: (left_id, right_id, hamming int).
     """
+    if n_chunks % 2 or 64 % n_chunks:
+        raise ValueError("n_chunks must be even and divide 64")
+    if max_hamming > n_chunks - 1:
+        raise ValueError("pigeonhole blocking needs max_hamming <= n_chunks - 1")
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    per_half = n_chunks // 2
     fps = simhash64(df, tokens_col, id_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(i).alias("chunk_id"),
+            F.shiftright(F.col(half), (i % per_half) * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("chunk"),
+        )
+        for i, half in enumerate(["fp_lo"] * per_half + ["fp_hi"] * per_half)
+    ]
     chunks = fps.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_id"),
-                        F.shiftrightunsigned(F.col("simhash"), i * (64 // n_chunks))
-                        .bitwiseAND(F.lit((1 << (64 // n_chunks)) - 1))
-                        .alias("chunk"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("doc_id", "simhash", F.col("c.chunk_id"), F.col("c.chunk"))
+        "doc_id", "fp_hi", "fp_lo", F.explode(F.array(*chunk_structs)).alias("c")
+    ).select("doc_id", "fp_hi", "fp_lo", F.col("c.chunk_id"), F.col("c.chunk"))
     l = chunks.select(
-        "chunk_id", "chunk", F.col("doc_id").alias("left_id"), F.col("simhash").alias("_hl")
+        "chunk_id", "chunk", F.col("doc_id").alias("left_id"),
+        F.col("fp_hi").alias("_hhl"), F.col("fp_lo").alias("_hll"),
     )
     r = chunks.select(
-        "chunk_id", "chunk", F.col("doc_id").alias("right_id"), F.col("simhash").alias("_hr")
+        "chunk_id", "chunk", F.col("doc_id").alias("right_id"),
+        F.col("fp_hi").alias("_hhr"), F.col("fp_lo").alias("_hlr"),
     )
+    hamming = (
+        F.bit_count(F.col("_hhl").bitwiseXOR(F.col("_hhr")))
+        + F.bit_count(F.col("_hll").bitwiseXOR(F.col("_hlr")))
+    ).cast("int")
     pairs = (
         l.join(r, ["chunk_id", "chunk"])
         .where(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id", F.bit_count(F.col("_hl").bitwiseXOR(F.col("_hr"))).alias("hamming"))
+        .select("left_id", "right_id", hamming.alias("hamming"))
         .distinct()
     )
     return pairs.where(F.col("hamming") <= max_hamming)

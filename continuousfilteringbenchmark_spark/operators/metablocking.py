@@ -87,7 +87,6 @@ def weighted_pairs(
     pairs = _pair_base(blocks, clean_clean)
     n_blocks_total = blocks.select("block_key").distinct().count()
     ents = _entity_block_counts(blocks)
-    bi = ents.where(F.col("side") == ("A" if clean_clean else ents["side"].cast("string"))) if clean_clean else ents
     if clean_clean:
         left_counts = ents.where(F.col("side") == "A").select(
             F.col("doc_id").alias("left_id"), F.col("n_blocks").alias("bi")
@@ -98,9 +97,9 @@ def weighted_pairs(
     else:
         left_counts = ents.select(F.col("doc_id").alias("left_id"), F.col("n_blocks").alias("bi"))
         right_counts = ents.select(F.col("doc_id").alias("right_id"), F.col("n_blocks").alias("bj"))
-    pairs = pairs.join(F.broadcast(left_counts), "left_id").join(
-        F.broadcast(right_counts), "right_id"
-    )
+    # no forced broadcast: these tables are one row per ENTITY (10^9 rows at
+    # corpus scale) — AQE broadcasts them when they are actually small
+    pairs = pairs.join(left_counts, "left_id").join(right_counts, "right_id")
 
     B = float(n_blocks_total)
     cbs = F.col("cbs").cast("double")
@@ -111,17 +110,34 @@ def weighted_pairs(
     elif scheme == "JS":
         w = cbs / (F.col("bi") + F.col("bj") - cbs)
     elif scheme == "EJS":
-        # degrees: number of distinct candidates per entity in the pair graph
-        deg_l = pairs.groupBy("left_id").agg(F.count("*").alias("deg_i"))
-        deg_r = pairs.groupBy("right_id").agg(F.count("*").alias("deg_j"))
-        n_pairs = pairs.count()
-        pairs = pairs.join(F.broadcast(deg_l), "left_id").join(F.broadcast(deg_r), "right_id")
+        # degree = number of distinct candidates of the NODE across both
+        # roles (published EJS definition). In Dirty ER the canonical
+        # left<right ordering splits a node's edges over both columns, so a
+        # per-role count would undercount; the node-centric union view is
+        # exact for Clean-Clean too (roles coincide with sides there).
+        deg = (
+            pairs.select(F.col("left_id").alias("node"))
+            .union(pairs.select(F.col("right_id").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        deg_l = deg.select(F.col("node").alias("left_id"), F.col("deg").alias("deg_i"))
+        deg_r = deg.select(F.col("node").alias("right_id"), F.col("deg").alias("deg_j"))
+        # |V| in the same lazy plan (no separate driver-side count/collect
+        # materializing the pair graph twice): scalar aggregate + cross join
+        v_df = pairs.agg(
+            F.greatest(F.count("*"), F.lit(1)).cast("double").alias("_v")
+        )
+        pairs = (
+            pairs.join(deg_l, "left_id")
+            .join(deg_r, "right_id")
+            .crossJoin(F.broadcast(v_df))
+        )
         js = cbs / (F.col("bi") + F.col("bj") - cbs)
-        V = float(max(n_pairs, 1))
         w = (
             js
-            * F.log10(F.lit(V) / F.col("deg_i"))
-            * F.log10(F.lit(V) / F.col("deg_j"))
+            * F.log10(F.col("_v") / F.col("deg_i"))
+            * F.log10(F.col("_v") / F.col("deg_j"))
         )
     elif scheme == "ARCS":
         w = F.col("arcs")
@@ -141,9 +157,18 @@ def weighted_pairs(
 # ----------------------------------------------------------------- pruners
 
 
-def wep(weighted: DataFrame) -> DataFrame:
-    """B10 Weighted Edge Pruning: keep pairs with weight >= global mean."""
-    mean = weighted.agg(F.avg("weight").alias("m"))
+def wep(weighted: DataFrame, round_digits: int | None = None) -> DataFrame:
+    """B10 Weighted Edge Pruning: keep pairs with weight >= global mean.
+
+    ``round_digits`` rounds the mean before the comparison: the float mean's
+    low-order bits depend on summation order (shuffled partitions), so
+    boundary pairs could flip run-to-run / vs an oracle; rounding pins the
+    threshold deterministically.
+    """
+    m = F.avg("weight")
+    if round_digits is not None:
+        m = F.round(m, round_digits)
+    mean = weighted.agg(m.alias("m"))
     return (
         weighted.crossJoin(F.broadcast(mean))
         .where(F.col("weight") >= F.col("m"))
@@ -162,10 +187,14 @@ def cep(weighted: DataFrame, k: int | None = None, blocks: DataFrame | None = No
         if blocks is None:
             raise ValueError("cep needs k or the block table to derive it")
         k = int(blocks.count() // 2)
-    w = Window.orderBy(F.col("weight").desc(), F.col("left_id").asc(), F.col("right_id").asc())
+    # distributed top-K (TakeOrderedAndProject): per-partition heaps merged on
+    # the driver — a partition-less row_number window would sort the ENTIRE
+    # weighted pair graph in one task (OOM at corpus scale)
     return (
-        weighted.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
+        weighted.orderBy(
+            F.col("weight").desc(), F.col("left_id").asc(), F.col("right_id").asc()
+        )
+        .limit(k)
         .select("left_id", "right_id", "weight")
     )
 
@@ -211,7 +240,9 @@ def cnp(
             raise ValueError("cnp needs k or the block table to derive it")
         bc = blocks.count()
         n = n_entities or blocks.select("side", "doc_id").distinct().count()
-        k = max(1, int(round(bc / max(n, 1))) - 1)
+        # floor(x + 0.5), not python round(): banker's rounding at .5 would
+        # disagree with SQL oracles (and most other engines)
+        k = max(1, int(math.floor(bc / max(n, 1) + 0.5)) - 1)
     ne = _node_edges(weighted).withColumn(
         "_other", F.when(F.col("node") == F.col("left_id"), F.col("right_id")).otherwise(F.col("left_id"))
     )
@@ -229,9 +260,10 @@ def blast_prune(weighted: DataFrame, ratio: float = 0.35) -> DataFrame:
     maxes = ne.groupBy("node").agg(F.max("weight").alias("node_max"))
     lm = maxes.select(F.col("node").alias("left_id"), F.col("node_max").alias("_ml"))
     rm = maxes.select(F.col("node").alias("right_id"), F.col("node_max").alias("_mr"))
+    # per-node max tables scale with |E| — never force-broadcast them
     return (
-        weighted.join(F.broadcast(lm), "left_id")
-        .join(F.broadcast(rm), "right_id")
+        weighted.join(lm, "left_id")
+        .join(rm, "right_id")
         .where(F.col("weight") >= F.lit(ratio) * (F.col("_ml") + F.col("_mr")) / 2.0)
         .select("left_id", "right_id", "weight")
     )

@@ -12,10 +12,8 @@ and tested.
 
 from __future__ import annotations
 
-import zlib
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -59,12 +57,21 @@ def synthesize_media_table(refs: DataFrame) -> DataFrame:
 
 
 def _fake_features(payload: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in for a real encoder: seed numpy from crc32 of
-    the payload; unit-norm vector."""
-    rng = np.random.RandomState(zlib.crc32(payload or b"") & 0x7FFFFFFF)
-    v = rng.normal(size=dim)
-    n = np.linalg.norm(v)
-    return (v / n if n > 0 else v).tolist()
+    """Deterministic stand-in for a real encoder: feature[i] = (first 10 hex
+    chars of md5(payload || ':' || i) as int) / 2^40, in [0, 1).
+
+    One exact integer-to-double division per element — the DuckDB oracle
+    recomputes the identical doubles from the same md5 formula, so the
+    multimodal plumbing gets a real value-level correctness check instead of
+    a rows-only count.
+    """
+    import hashlib
+
+    p = payload or b""
+    return [
+        int(hashlib.md5(p + b":" + str(i).encode()).hexdigest()[:10], 16) / 2**40
+        for i in range(dim)
+    ]
 
 
 def extract_features(

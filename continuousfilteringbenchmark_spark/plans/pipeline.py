@@ -56,7 +56,7 @@ def score_pairs(
     pairs: DataFrame,
     tokened: DataFrame,
     sim: str = "jaccard",
-    broadcast_rows: int | None = 3_000_000,
+    broadcast_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Score candidate (left_id, right_id) pairs with exact set similarity.
 
@@ -70,9 +70,11 @@ def score_pairs(
     broadcast, so the (pairs x wide-array) intermediate never crosses
     executors — shuffling 4.5M pair rows carrying two ~500B arrays through
     two shuffle joins costs more than shipping the whole doc-side table once
-    (measured 3.5x on the scale bench at 4 executors). Beyond the cap (the
-    10^12-doc regime, where the doc table can't broadcast) it falls back to
-    plain shuffle joins, where production co-locates via doc_id bucketing.
+    (measured 3.5x on the scale bench at 4 executors). The cap (1M rows,
+    ~0.5-1 GB of token arrays) keeps the forced broadcast inside small
+    executor heaps; beyond it (the 10^12-doc regime, where the doc table
+    can't broadcast) it falls back to plain shuffle joins, where production
+    co-locates via doc_id bucketing.
     """
     hashed = tokened.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
     lt = hashed.select(
@@ -85,7 +87,13 @@ def score_pairs(
         F.col("_h").alias("_rtok"),
         F.size("_h").alias("_rsz"),
     )
-    if broadcast_rows is not None and tokened.count() <= broadcast_rows:
+    # bounded plausibility probe: limit(cap+1).count() stops scanning at the
+    # cap instead of counting the whole table (which at corpus scale would be
+    # a full-scan job run before every score_pairs call)
+    if (
+        broadcast_rows is not None
+        and tokened.limit(broadcast_rows + 1).count() <= broadcast_rows
+    ):
         lt, rt = F.broadcast(lt), F.broadcast(rt)
     scored = (
         pairs.join(lt, "left_id")

@@ -59,6 +59,16 @@ class StageStore:
         )
         per_part.write.mode("append").parquet(os.path.join(self.root, self.run_id, "_metrics"))
 
+    def append_metric(self, stage: str, rows: int, wall_ms: int = 0) -> None:
+        """Append one scalar metrics row (partition_id = -1) — used for
+        operator-level observability such as salt-cap drops, where silence
+        would hide an answer-changing event."""
+        row = self.spark.createDataFrame(
+            [(self.run_id, stage, -1, int(rows), int(wall_ms), int(time.time() * 1000))],
+            METRICS_SCHEMA,
+        )
+        row.write.mode("append").parquet(os.path.join(self.root, self.run_id, "_metrics"))
+
     def run_stage(
         self, stage: str, build: Callable[[], DataFrame], partition_by: list[str] | None = None
     ) -> DataFrame:

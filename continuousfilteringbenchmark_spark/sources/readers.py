@@ -41,7 +41,7 @@ def read_embedding_csv(
         "vec",
         F.transform(
             F.split(F.regexp_replace(F.col(vec_col), r"[\[\]]", ""), r"[,\s]+"),
-            lambda x: x.cast("double"),
+            lambda x: x.try_cast("double"),
         ),
     )
     parsed = parsed.withColumn(
@@ -59,7 +59,7 @@ def read_dirty_er_csv(
     aggregate value; ``<N>duplicates.csv`` with Entity1|Entity2)."""
     docs = (
         spark.read.csv(full_path, sep=sep, header=True)
-        .select(F.col("Id").alias("doc_id"), F.col("Clean Ag.Value").alias("text"))
+        .select(F.col("Id").alias("doc_id"), F.col("`Clean Ag.Value`").alias("text"))
     )
     gold = (
         spark.read.csv(duplicates_path, sep=sep, header=True)

@@ -1,0 +1,75 @@
+"""N8: recall-targeted parameter search (SURVEY.md §2.5).
+
+The reference tunes every NN method by searching the smallest parameter
+value (``#neighbors`` for FAISS/SCANN, ``#probes`` for FALCONN) whose Pair
+Completeness reaches the target — ``findNN`` in
+``nnmethods/faiss/D4sa.py:174-209`` (expanding/halving step search) and the
+probe loop in ``nnmethods/falconn/hyperplaneLSH/D4.py:118-150``. This module
+reproduces that protocol as a deterministic driver-level utility: PC(param)
+is assumed monotone non-decreasing (more neighbors / probes / tables can
+only add candidates), so an exponential-expand + binary-search finds the
+minimal satisfying parameter with O(log hi) evaluations.
+
+It is driver-level on purpose (matches the reference, which tunes outside
+the engine): each probe runs a full distributed job; the search loop itself
+touches only scalar PC values.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+
+def find_min_param(
+    evaluate: Callable[[int], float],
+    target: float,
+    lo: int = 1,
+    hi: int | None = None,
+    start: int | None = None,
+) -> tuple[int, float]:
+    """Smallest integer param in [lo, hi] with evaluate(param) >= target.
+
+    ``evaluate`` returns a recall/PC in [0, 1] and must be monotone
+    non-decreasing in its argument (the reference's assumption too —
+    ``findNN`` walks #neighbors the same way). When ``hi`` is None the upper
+    bound is found by doubling from ``start`` (default ``lo``), mirroring the
+    reference's expanding ``startstep`` phase.
+
+    Returns (param, recall_at_param). Raises ValueError if even ``hi``
+    misses the target (the reference loops forever instead — D4sa.py:195).
+    """
+    if hi is None:
+        p = max(start or lo, lo)
+        r = evaluate(p)
+        while r < target:
+            if p > 1 << 30:
+                raise ValueError(f"recall target {target} unreachable (PC={r} at {p})")
+            p *= 2
+            r = evaluate(p)
+        hi = p
+        hi_recall = r
+    else:
+        hi_recall = evaluate(hi)
+        if hi_recall < target:
+            raise ValueError(
+                f"recall target {target} unreachable: PC={hi_recall} at hi={hi}"
+            )
+    best, best_r = hi, hi_recall
+    lo_b, hi_b = lo, hi
+    while lo_b < hi_b:
+        mid = (lo_b + hi_b) // 2
+        r = evaluate(mid)
+        if r >= target:
+            best, best_r = mid, r
+            hi_b = mid
+        else:
+            lo_b = mid + 1
+    return best, best_r
+
+
+def pc_of_pairs(candidates, gold) -> float:
+    """PC of a candidate-pair DataFrame vs a gold-pair DataFrame (both
+    canonicalized) — the scalar the tuner drives on."""
+    from .eval import evaluate_pairs
+
+    return evaluate_pairs(candidates, gold).pc

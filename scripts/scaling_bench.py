@@ -132,7 +132,10 @@ def main() -> None:
         "## Why executor processes, not `local[8]` vs `local[32]` threads",
         "",
         "This sandbox caps the effective parallelism of any single OS process at",
-        "~8 cores (virtualization scheduler), measured directly:",
+        "~8 cores (virtualization scheduler), measured by a ONE-TIME host",
+        "characterization (captured 2026-08-16 on this sandbox host; the numbers",
+        "below are that snapshot, not re-measured per report — the pipeline",
+        "results table underneath IS re-measured on every run):",
         "",
         "| probe | 8-way | 32-way | scales? |",
         "|---|---|---|---|",

@@ -115,8 +115,15 @@ def test_range_search_threshold(spark):
         for j in range(len(rows))
         if rows[i][0] < rows[j][0] and cos(rows[i][1], rows[j][1]) >= 0.85
     }
-    pairs = range_search(vecs, None, threshold=0.85)
+    pairs = range_search(vecs, None, threshold=0.85, method="exact")
     got = {(r.left_id, r.right_id) for r in pairs.collect()}
     assert got == expected
     for r in pairs.collect():
         assert r.score >= 0.85
+    # default (LSH) path: exact-verified candidates -> always a subset of
+    # the brute-force answer, never inventing pairs
+    lsh_got = {
+        (r.left_id, r.right_id)
+        for r in range_search(vecs, None, threshold=0.85, lsh_tables=16, lsh_bits=4).collect()
+    }
+    assert lsh_got <= expected

@@ -81,6 +81,34 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # throughput proxy for the ER headline: candidate pairs scored per second
     n_docs = entrymod._documents(spark, sf_dir).count()
+
+    # E5 memory-probe parity: the reference ships -Xmx-probed memory variants
+    # of every workflow (SURVEY.md E5); here peak RSS of the driver python
+    # (VmHWM) + the one local JVM, read from /proc after the run
+    def _vmhwm_mb(pid) -> float | None:
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for line in f:
+                    if line.startswith("VmHWM"):
+                        return round(int(line.split()[1]) / 1024, 1)
+        except OSError:
+            return None
+        return None
+
+    import subprocess
+
+    try:
+        jvm_pids = [
+            int(p)
+            for p in subprocess.check_output(
+                ["pgrep", "-P", str(os.getpid()), "java"]
+            ).split()
+        ]
+    except (subprocess.CalledProcessError, OSError):
+        jvm_pids = []
+    rss = {"driver_py": _vmhwm_mb(os.getpid())}
+    for i, p in enumerate(jvm_pids):
+        rss[f"jvm_{i}"] = _vmhwm_mb(p)
     out = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -92,6 +120,7 @@ def main() -> None:
         "n_docs": n_docs,
         "iters": iters,
         "spread_min_max": spread,
+        "peak_rss_mb": rss,
     }
     print(json.dumps(out))
 

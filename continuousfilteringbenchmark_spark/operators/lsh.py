@@ -91,40 +91,35 @@ def minhash_bands(
     r = rows or rows_per_band(n_bands, threshold)
     n_hashes = n_bands * r
     a, b = _hash_params(n_hashes, seed)
-    a_lit = F.array(*[F.lit(int(v)) for v in a])
-    b_lit = F.array(*[F.lit(int(v)) for v in b])
 
+    # token -> 40-bit int stays JVM-side SQL (md5 inside codegen; only longs
+    # cross the Arrow boundary). The 192-permutation min does NOT: Catalyst
+    # higher-order functions are interpreted per element (no codegen), so a
+    # transform(sequence(0,191), array_min(transform(xs,...))) tree is ~10x
+    # slower than one numpy broadcast over the same int64 math. Identical
+    # arithmetic either way — the DuckDB oracle replays the SQL formula.
     xs = F.transform(F.col(tokens_col), token_hash40)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("_xs"),
-                lambda x: (F.element_at(a_lit, i + 1).cast("long") * x
-                           + F.element_at(b_lit, i + 1)) % F.lit(_MINHASH_P),
-            )
-        ),
-    )
-    buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda j: (
-            (
-                F.aggregate(
-                    F.slice(F.col("_sig"), j * r + 1, r),
-                    F.lit(0).cast("long"),
-                    lambda acc, s: acc + s,
-                )
-                % F.lit(_MINHASH_P)
-            )
-            * F.lit(_LARGE_PRIME)
-        )
-        % F.lit(n_buckets),
-    )
+
+    a_col = a.reshape(n_hashes, 1)
+    b_col = b.reshape(n_hashes, 1)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def buckets(hashed: pd.Series) -> pd.Series:
+        out = []
+        for row in hashed:
+            x = np.asarray(row, dtype=np.int64)  # (T,) 40-bit values
+            # (n_hashes, T): a*x + b < 2^61, exact in int64
+            sig = ((a_col * x[None, :] + b_col) % _MINHASH_P).min(axis=1)
+            # bands are consecutive r-slices of the signature; sum < r*P
+            # < 2^34, then (mod P) * LARGE_PRIME < 2^60 — never wraps
+            band_sums = sig.reshape(n_bands, r).sum(axis=1)
+            out.append(((band_sums % _MINHASH_P) * _LARGE_PRIME % n_buckets).tolist())
+        return pd.Series(out)
+
     return (
         df.select(F.col(id_col).alias("doc_id"), xs.alias("_xs"))
         .where(F.size("_xs") > 0)
-        .withColumn("_sig", sig)
-        .select("doc_id", F.posexplode(buckets).alias("band", "bucket"))
+        .select("doc_id", F.posexplode(buckets(F.col("_xs"))).alias("band", "bucket"))
     )
 
 

@@ -773,27 +773,33 @@ bstats AS (
 """
 
 # parameter-free Block Purging cutoff (mirrors blocking.purging_threshold:
-# cumulative assignments/comparisons over the DISTINCT-cardinality histogram,
-# cutoff = largest cardinality whose marginal trade-off beats smoothing 1.025)
+# per-level cumulative assignments + per-BLOCK-weighted cumulative
+# comparisons; cutoff = largest justified cardinality — justified when the
+# marginal trade-off beats smoothing 1.025 OR everything below has cc=0 —
+# clamped to >= floor(25 * median per-block cardinality))
 _PURGE = r"""
-hist AS (SELECT comp, sum(bs) AS assignments FROM bstats GROUP BY comp),
+hist AS (SELECT comp, sum(bs) AS assignments, count(*) AS n_blocks
+         FROM bstats GROUP BY comp),
 cum AS (
   SELECT comp,
-         sum(assignments) OVER (ORDER BY comp) AS bc,
-         sum(comp)        OVER (ORDER BY comp) AS cc,
-         row_number()     OVER (ORDER BY comp) AS rn
+         sum(assignments)     OVER (ORDER BY comp) AS bc,
+         sum(comp * n_blocks) OVER (ORDER BY comp) AS cc,
+         row_number()         OVER (ORDER BY comp) AS rn
   FROM hist
 ),
 cnd AS (
-  SELECT comp, rn,
-         (CAST(cc AS DOUBLE) * lag(bc) OVER (ORDER BY comp))
-           < (1.025 * lag(cc) OVER (ORDER BY comp) * CAST(bc AS DOUBLE)) AS ok
+  SELECT comp, rn, bc,
+         ((CAST(cc AS DOUBLE) * lag(bc) OVER (ORDER BY comp))
+            < (1.025 * lag(cc) OVER (ORDER BY comp) * CAST(bc AS DOUBLE)))
+         OR (lag(cc) OVER (ORDER BY comp) = 0) AS ok
   FROM cum
 ),
 thr AS (
-  SELECT coalesce(max(comp) FILTER (WHERE ok AND rn > 1),
-                  (SELECT min(comp) FROM hist)) AS t
-  FROM cnd
+  SELECT greatest(
+           coalesce((SELECT max(comp) FROM cnd WHERE ok AND rn > 1),
+                    (SELECT min(comp) FROM cnd)),
+           (SELECT floor(25.0 * median(comp)) FROM bstats)
+         ) AS t
 ),
 purged AS (
   SELECT t.tok AS block_key, t.doc_id
@@ -938,24 +944,28 @@ ccb AS (
 ccbstats AS (
   SELECT block_key, (n_a + n_b) AS bs, CAST(n_a * n_b AS BIGINT) AS comp FROM ccb
 ),
-cchist AS (SELECT comp, sum(bs) AS assignments FROM ccbstats GROUP BY comp),
+cchist AS (SELECT comp, sum(bs) AS assignments, count(*) AS n_blocks
+           FROM ccbstats GROUP BY comp),
 cccum AS (
   SELECT comp,
-         sum(assignments) OVER (ORDER BY comp) AS bc,
-         sum(comp)        OVER (ORDER BY comp) AS cc,
-         row_number()     OVER (ORDER BY comp) AS rn
+         sum(assignments)     OVER (ORDER BY comp) AS bc,
+         sum(comp * n_blocks) OVER (ORDER BY comp) AS cc,
+         row_number()         OVER (ORDER BY comp) AS rn
   FROM cchist
 ),
 cccnd AS (
-  SELECT comp, rn,
-         (CAST(cc AS DOUBLE) * lag(bc) OVER (ORDER BY comp))
-           < (1.025 * lag(cc) OVER (ORDER BY comp) * CAST(bc AS DOUBLE)) AS ok
+  SELECT comp, rn, bc,
+         ((CAST(cc AS DOUBLE) * lag(bc) OVER (ORDER BY comp))
+            < (1.025 * lag(cc) OVER (ORDER BY comp) * CAST(bc AS DOUBLE)))
+         OR (lag(cc) OVER (ORDER BY comp) = 0) AS ok
   FROM cccum
 ),
 ccthr AS (
-  SELECT coalesce(max(comp) FILTER (WHERE ok AND rn > 1),
-                  (SELECT min(comp) FROM cchist)) AS t
-  FROM cccnd
+  SELECT greatest(
+           coalesce((SELECT max(comp) FROM cccnd WHERE ok AND rn > 1),
+                    (SELECT min(comp) FROM cccnd)),
+           (SELECT floor(25.0 * median(comp)) FROM ccbstats)
+         ) AS t
 ),
 ccpurged AS (
   SELECT t.tok AS block_key, t.doc_id, t.is_a

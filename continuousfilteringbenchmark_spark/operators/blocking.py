@@ -165,44 +165,61 @@ def _block_stats(blocks: DataFrame, clean_clean: bool) -> DataFrame:
     )
 
 
-def purging_threshold(stats_pdf, smoothing: float = 1.025) -> int:
+def purging_threshold(
+    stats_pdf, smoothing: float = 1.025, clamp_factor: float = 25.0
+) -> int:
     """Parameter-free comparison-cardinality cutoff for Block Purging.
 
     Derived from the published Block Purging heuristic (Papadakis et al.,
     "Comparison-based Block Purging"; invoked by the reference at
-    ``blockingWorkflows/.../TokenBlocking.java:67-70``): scan distinct
-    comparison cardinalities ascending with cumulative block assignments (BC)
-    and cumulative comparisons (CC); the cutoff is the largest cardinality at
-    which increasing it still improves the assignment/comparison trade-off by
-    more than ``smoothing``, i.e. the last index where
-    ``CC_i * BC_{i-1} < smoothing * CC_{i-1} * BC_i`` fails going up.
+    ``blockingWorkflows/.../TokenBlocking.java:67-70`` — the exact scan lives
+    inside the JedAI jar, so SURVEY.md risk #4 licenses re-deriving it from
+    the published description and oracle-testing it). Scan distinct
+    comparison cardinalities ascending with cumulative block assignments
+    BC(h) and cumulative comparisons CC(h) (comparisons summed over EVERY
+    block at each level, not once per distinct level); the cutoff is the
+    LARGEST cardinality h where raising the cutoff to h still grows total
+    comparisons by less than ``smoothing`` x the growth in assignments:
+
+        CC(h) * BC(h-1) < smoothing * CC(h-1) * BC(h)
+
+    Two robustness completions (both answer-changing degeneracies of the
+    bare scan, both deterministic and replayed by the SQL oracle):
+
+    * zero guard — a level is always justified when everything below it has
+      CC = 0 (purging exists to cut comparisons; a cutoff below the first
+      comparing level would keep only singleton blocks and return no pairs);
+    * typicality clamp — the cutoff never drops below ``clamp_factor`` x the
+      MEDIAN per-block comparison cardinality. Purging's published contract
+      is "drop only the oversized stop-word blocks, negligible PC loss"; on
+      smooth small-corpus histograms (no stop-word knee) the consecutive-
+      ratio test otherwise walks to the bottom and purges nearly every
+      block. A block within 25x the typical block is not a mega-block; one
+      beyond it still falls to the scan exactly as before.
 
     ``stats_pdf``: pandas DF with columns (comparisons, block_size) per block.
-    Driver-side on the distinct-cardinality histogram (tiny).
+    Driver-side on the distinct-cardinality histogram (tiny at any scale).
     """
     import pandas as pd  # noqa: F401
 
     g = (
         stats_pdf.groupby("comparisons", sort=True)
-        .agg(assignments=("block_size", "sum"))
+        .agg(assignments=("block_size", "sum"), n_blocks=("block_size", "count"))
         .reset_index()
     )
     if g.empty:
         return 0
     g["cum_bc"] = g["assignments"].cumsum().astype(float)  # block assignments
-    g["cum_cc"] = g["comparisons"].cumsum().astype(float)  # comparisons
+    g["cum_cc"] = (g["comparisons"] * g["n_blocks"]).cumsum().astype(float)
     cards = g["comparisons"].tolist()
     bc = g["cum_bc"].tolist()
     cc = g["cum_cc"].tolist()
-    threshold = cards[-1]
-    for i in range(len(cards) - 1, 0, -1):
-        # stop lowering the cutoff once the marginal gain in assignments per
-        # comparison is within the smoothing factor
-        if cc[i] * bc[i - 1] < smoothing * cc[i - 1] * bc[i]:
+    threshold = cards[0]
+    for i in range(1, len(cards)):
+        if cc[i] * bc[i - 1] < smoothing * cc[i - 1] * bc[i] or cc[i - 1] == 0:
             threshold = cards[i]
-            break
-        threshold = cards[i - 1]
-    return int(threshold)
+    clamp = math.floor(clamp_factor * float(stats_pdf["comparisons"].median()))
+    return int(max(threshold, clamp))
 
 
 def block_purging(

@@ -694,6 +694,35 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shingle_count_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 shingling vectorizer (reference ``nnmethods/minhashLSH/src/minhash/
+    ShinglingModel.java:18-105``): global char-4-gram vocabulary with dense
+    sorted ids, per-doc occurrence counts in sparse COO form
+    (doc_id, vocab_id, cnt). The oracle replays the vocabulary as
+    ``row_number() OVER (ORDER BY tok) - 1`` and the counts as a plain
+    group-by."""
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+    from continuousfilteringbenchmark_spark.functions import vectorize as V
+
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", tk.char_ngrams("text", 4).alias("tokens")
+    )
+    return V.count_vectors(toks)
+
+
+def q_ngram_bool_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 n-gram boolean vectors (reference ``nnmethods/scalabilityAnalysis/
+    MH_LSH.py:17-55`` ``ngrams_index``): same vocabulary, presence-only
+    (doc_id, vocab_id) sparse rows."""
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+    from continuousfilteringbenchmark_spark.functions import vectorize as V
+
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", tk.char_ngrams("text", 4).alias("tokens")
+    )
+    return V.bool_vectors(toks)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -742,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "hyperplane_lsh": q_hyperplane_lsh,
         "dedup_assignments": q_dedup_assignments,
+        "shingle_count_vectors": q_shingle_count_vectors,
+        "ngram_bool_vectors": q_ngram_bool_vectors,
     }
 
 
@@ -2142,5 +2173,43 @@ def oracle_sql() -> dict[str, str]:
                    max(score) AS score
             FROM kept
             GROUP BY least(src_id, tgt_id), greatest(src_id, tgt_id)
+        """,
+        # P9 shingling count vectors: char-4-gram bag of lower(trim(text))
+        # (short-string fallback keeps the whole string, matching
+        # tokenize.char_ngrams); vocabulary ids follow the total sort order.
+        "shingle_count_vectors": r"""
+            WITH g AS (
+              SELECT doc_id, CASE WHEN length(s) < 4 THEN [s]
+                     ELSE list_transform(generate_series(1, length(s) - 3),
+                                         i -> substring(s, i, 4)) END AS gl
+              FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+            ),
+            ex AS (SELECT doc_id, unnest(gl) AS tok FROM g),
+            vocab AS (
+              SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS vocab_id
+              FROM (SELECT DISTINCT tok FROM ex)
+            )
+            SELECT e.doc_id, v.vocab_id, count(*) AS cnt
+            FROM ex e JOIN vocab v USING (tok)
+            GROUP BY e.doc_id, v.vocab_id
+        """,
+        # P10 boolean vectors: same vocabulary, presence-only rows
+        "ngram_bool_vectors": r"""
+            WITH g AS (
+              SELECT doc_id, CASE WHEN length(s) < 4 THEN [s]
+                     ELSE list_transform(generate_series(1, length(s) - 3),
+                                         i -> substring(s, i, 4)) END AS gl
+              FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+            ),
+            ex AS (
+              SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest(gl) AS tok FROM g)
+            ),
+            vocab AS (
+              SELECT tok, row_number() OVER (ORDER BY tok) - 1 AS vocab_id
+              FROM (SELECT DISTINCT tok FROM ex)
+            )
+            SELECT e.doc_id, v.vocab_id
+            FROM ex e JOIN vocab v USING (tok)
         """,
     }

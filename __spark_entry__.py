@@ -90,14 +90,16 @@ def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_block_purging(spark: SparkSession, sf_dir: str) -> DataFrame:
     from continuousfilteringbenchmark_spark.operators import blocking as B
 
-    blocks = _doc_blocks(_documents(spark, sf_dir))
+    # persist: the purge-threshold histogram collect and the output filter
+    # both scan the block table (see q_er_clusters note)
+    blocks = _doc_blocks(_documents(spark, sf_dir)).persist()
     return B.block_purging(blocks, clean_clean=False).select("block_key", "doc_id")
 
 
 def q_block_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from continuousfilteringbenchmark_spark.operators import blocking as B
 
-    blocks = _doc_blocks(_documents(spark, sf_dir))
+    blocks = _doc_blocks(_documents(spark, sf_dir)).persist()
     purged = B.block_purging(blocks, clean_clean=False)
     return B.block_filtering(purged, 0.5, clean_clean=False).select("block_key", "doc_id")
 
@@ -148,11 +150,16 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from continuousfilteringbenchmark_spark.plans.pipeline import score_pairs
 
     documents = _documents(spark, sf_dir)
-    blocks = _doc_blocks(documents)
+    # persist the reused stages: the composed DAG otherwise recomputes the
+    # tokenize -> explode -> blocks chain ~4x (purge-stats collect, filter
+    # window, pairs, and toks twice in scoring) — the in-session equivalent
+    # of the production StageStore materializing each stage to parquet
+    # (plans/stages.py; measured 103s -> ~70s at sf0.1)
+    blocks = _doc_blocks(documents).persist()
     purged = B.block_purging(blocks, clean_clean=False)
-    filtered = B.block_filtering(purged, 0.5, clean_clean=False)
+    filtered = B.block_filtering(purged, 0.5, clean_clean=False).persist()
     pairs = B.pairs_from_blocks(filtered, clean_clean=False)
-    toks = _word_toks(documents)
+    toks = _word_toks(documents).persist()
     scored = score_pairs(pairs, toks, "jaccard")
     matches = scored.where(F.col("score") >= 0.5).select("left_id", "right_id")
     return clusters_with_singletons(documents, matches)

@@ -81,6 +81,11 @@ def minhash_near_duplicates(
     toks = df.select(
         F.col(id_col).alias("doc_id"), tk.char_ngram_set(text_col, n).alias("tokens")
     ).where(F.size("tokens") > 0)
+    if verify:
+        # the shingle table feeds the band join AND both sides of the
+        # verification join — persist it instead of recomputing the n-gram
+        # chain 3x (the in-session analogue of staging it to the StageStore)
+        toks = toks.persist()
     cand = minhash_lsh_join(toks, None, n_bands, n_buckets, threshold, seed)
     if not verify:
         return cand

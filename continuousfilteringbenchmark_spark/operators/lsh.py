@@ -371,7 +371,9 @@ def simhash_near_duplicates(
     width = 64 // n_chunks
     mask = (1 << width) - 1
     per_half = n_chunks // 2
-    fps = simhash64(df, tokens_col, id_col)
+    # both sides of the chunk self-join derive from the fingerprint table —
+    # persist it so the 64-bit vote aggregation runs once, not twice
+    fps = simhash64(df, tokens_col, id_col).persist()
     chunk_structs = [
         F.struct(
             F.lit(i).alias("chunk_id"),

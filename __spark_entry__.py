@@ -160,8 +160,9 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = B.block_filtering(purged, 0.5, clean_clean=False).persist()
     pairs = B.pairs_from_blocks(filtered, clean_clean=False)
     toks = _word_toks(documents).persist()
-    scored = score_pairs(pairs, toks, "jaccard")
-    matches = scored.where(F.col("score") >= 0.5).select("left_id", "right_id")
+    matches = score_pairs(pairs, toks, "jaccard", min_score=0.5).select(
+        "left_id", "right_id"
+    )
     return clusters_with_singletons(documents, matches)
 
 
@@ -274,8 +275,7 @@ def q_clean_clean_er(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("left_id").cast("string").alias("left_id"),
         F.col("right_id").cast("string").alias("right_id"),
     )
-    scored = score_pairs(pairs, toks, "jaccard")
-    return scored.where(F.col("score") >= 0.5)
+    return score_pairs(pairs, toks, "jaccard", min_score=0.5)
 
 
 def q_metablocking_ecbs_wnp(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -101,10 +101,14 @@ def hash_token_set(arr: Column) -> Column:
     """Dictionary-free token encoding: token set -> sorted array<long> of
     xxhash64 ids.
 
-    Scale rationale: Spark's ``array_intersect`` on string arrays takes the
-    generic non-codegen path (~100x slower than the primitive-long fast path,
-    measured 242s -> 2.5s for 12.5M pair intersections at local[32]); every
-    array-carrying scoring join therefore runs on hashed ids. 64-bit ids make
+    Scale rationale: ``array_intersect`` on string arrays hashes and compares
+    full strings per element and the pair rows carry every token's bytes
+    through the join; hashed longs keep the arrays primitive and ~5-10x
+    narrower. (An earlier claim of "242s -> 2.5s" here was a measurement
+    artifact: the timed ``count()`` let Catalyst prune the intersect column
+    entirely. Honest numbers at 12.5M pairs / local[32]: jvm intersect
+    ~220s, Arrow dictionary scorer ~111s before batching/prefilter tuning —
+    see ``plans.pipeline.score_pairs``.) 64-bit ids make
     an in-pair collision (the only kind that could shift a score) ~n^2/2^64
     per pair — negligible even at 10^12 docs.
     """

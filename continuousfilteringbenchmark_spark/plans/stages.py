@@ -117,7 +117,7 @@ def materialized_er_pipeline(
     )
     matches = store.run_stage(
         "matches",
-        lambda: score_pairs(pairs, tokened, cfg.sim).where(F.col("score") >= cfg.threshold),
+        lambda: score_pairs(pairs, tokened, cfg.sim, min_score=cfg.threshold),
     )
     clusters = store.run_stage(
         "clusters",

@@ -87,8 +87,11 @@ def main() -> None:
     counts["candidate_pairs"] = pairs.count()
     timings["candidate_pairs"] = round(time.perf_counter() - t0, 3)
 
-    scored = score_pairs(pairs, tokened, "jaccard")
-    matches = scored.where(F.col("score") >= 0.5).select("left_id", "right_id").persist()
+    matches = (
+        score_pairs(pairs, tokened, "jaccard", min_score=0.5)
+        .select("left_id", "right_id")
+        .persist()
+    )
     t0 = time.perf_counter()
     counts["matches"] = matches.count()
     timings["scoring"] = round(time.perf_counter() - t0, 3)

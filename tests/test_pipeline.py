@@ -61,3 +61,31 @@ def test_dirty_er_pipeline(dirty):
     res = er_pipeline(dirty.docs, ERConfig(threshold=0.5), clean_clean=False)
     m = evaluate_clusters(res["clusters"], dirty.gold_pairs)
     assert m.f1 >= 0.95, f"F1={m.f1} PC={m.pc} PQ={m.pq}"
+
+
+def test_score_pairs_engines_identical(cc_corpus, monkeypatch):
+    """jvm / arrow-bitset / arrow-sort kernels return bit-identical scores,
+    and min_score == post-hoc filter (the size-bound prefilter is exact)."""
+    import continuousfilteringbenchmark_spark.plans.pipeline as P
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.plans.pipeline import docs_with_tokens, score_pairs
+
+    tokened = docs_with_tokens(cc_corpus.docs, side_from_prefix=True)
+    blocks = B.build_blocks(tokened, B.BlockingConfig(clean_clean=True))
+    pairs = B.pairs_from_blocks(blocks, clean_clean=True)
+
+    def rows(df):
+        return {(r.left_id, r.right_id, r.score) for r in df.collect()}
+
+    base = rows(score_pairs(pairs, tokened, "jaccard", engine="jvm"))
+    assert rows(score_pairs(pairs, tokened, "jaccard", engine="arrow")) == base
+    monkeypatch.setattr(P, "_BITSET_MAX_WORDS", 0)  # force the sort kernel
+    assert rows(score_pairs(pairs, tokened, "jaccard", engine="arrow")) == base
+    expected = {t for t in base if t[2] >= 0.5}
+    got = rows(score_pairs(pairs, tokened, "jaccard", engine="arrow", min_score=0.5))
+    assert got == expected
+    monkeypatch.undo()
+    got = rows(score_pairs(pairs, tokened, "jaccard", engine="arrow", min_score=0.5))
+    assert got == expected
+    got = rows(score_pairs(pairs, tokened, "jaccard", engine="jvm", min_score=0.5))
+    assert got == expected

@@ -243,7 +243,24 @@ def score_pairs(
         and tokened.limit(broadcast_rows + 1).count() <= broadcast_rows
     )
     if engine == "auto":
-        engine = "arrow" if under_cap else "jvm"
+        # arrow only when its bitset kernel will apply (small vocabulary):
+        # the sort kernel exists as an explicit engine='arrow' choice but
+        # does not beat the jvm join on large vocabularies. Probing the
+        # vocabulary costs two small jobs, only run when under the cap
+        # (<= broadcast_rows docs).
+        engine = "jvm"
+        if under_cap:
+            v_est = (
+                hashed.select(F.explode("_h").alias("_t"))
+                .agg(F.approx_count_distinct("_t").alias("v"))
+                .collect()[0]["v"]
+            )
+            w_est = (int(v_est * 1.2) + 63) // 64
+            if (
+                w_est <= _BITSET_MAX_WORDS
+                and tokened.count() * w_est * 8 <= _BITSET_MAX_BYTES
+            ):
+                engine = "arrow"
     if engine == "arrow":
         if not under_cap:
             raise ValueError(

@@ -88,7 +88,13 @@ def main() -> None:
     timings["candidate_pairs"] = round(time.perf_counter() - t0, 3)
 
     matches = (
-        score_pairs(pairs, tokened, "jaccard", min_score=0.5)
+        score_pairs(
+            pairs,
+            tokened,
+            "jaccard",
+            min_score=0.5,
+            engine=os.environ.get("SPARK_GRAFT_SCORE_ENGINE", "auto"),
+        )
         .select("left_id", "right_id")
         .persist()
     )

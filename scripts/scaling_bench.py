@@ -52,7 +52,8 @@ def generate(n_entities: int, path: str) -> None:
     spark.stop()
 
 
-REPEATS = 3
+REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+LEVELS = [int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "1,2,4").split(",")]
 
 
 def run_once(n_executors: int, path: str) -> dict:
@@ -102,16 +103,15 @@ def main() -> None:
         os.makedirs(data_dir, exist_ok=True)
         generate(n_entities, path)
 
-    best = run_levels([N_EXEC_LO, 2, N_EXEC_HI], path)
-    lo, mid, hi = best[N_EXEC_LO], best[2], best[N_EXEC_HI]
+    best = run_levels(sorted(set(LEVELS)), path)
+    lo, hi = best[min(best)], best[max(best)]
 
     thr_lo, thr_hi = lo["pairs_per_sec"], hi["pairs_per_sec"]
-    thr_mid = mid["pairs_per_sec"]
-    ratio = N_EXEC_HI / N_EXEC_LO
+    ratio = max(best) / min(best)
     eff = (thr_hi / thr_lo) / ratio
     speedup = lo["total_sec"] / hi["total_sec"]
-    lo_name = f"{N_EXEC_LO} executor x {EXEC_CORES} cores"
-    hi_name = f"{N_EXEC_HI} executors x {EXEC_CORES} cores"
+    lo_name = f"{min(best)} executor x {EXEC_CORES} cores"
+    hi_name = f"{max(best)} executors x {EXEC_CORES} cores"
 
     lines = [
         "# BENCH baseline — scaling evidence (N = 1 executor vs 4N = 4 executors)",
@@ -123,10 +123,10 @@ def main() -> None:
         f"({n_entities} entities, seed 42 — `fixtures.distributed_dirty_docs`,",
         "Zipf-like vocabulary; see FIXTURES.md F3).",
         "",
-        f"Both levels run the identical code on the identical input under Spark's",
+        f"All levels run the identical code on the identical input under Spark's",
         f"`local-cluster` master — **real separate executor JVMs** with real",
-        f"inter-process shuffle: `local-cluster[{N_EXEC_LO},{EXEC_CORES},6144]` (N) vs",
-        f"`local-cluster[{N_EXEC_HI},{EXEC_CORES},6144]` (4N); one fresh driver per",
+        f"inter-process shuffle: `local-cluster[{min(best)},{EXEC_CORES},6144]` (N) vs",
+        f"`local-cluster[{max(best)},{EXEC_CORES},6144]` (4N); one fresh driver per",
         "level; `spark.sql.shuffle.partitions` = total core count; AQE + skew-join on.",
         "",
         "## Why executor processes, not `local[8]` vs `local[32]` threads",
@@ -151,29 +151,33 @@ def main() -> None:
         "",
         "## Results",
         "",
-        f"| stage | {lo_name} (s) | 2 executors (s) | {hi_name} (s) | N->4N speedup |",
-        "|---|---|---|---|---|",
+        "| stage | "
+        + " | ".join(f"{n} executor{'s' if n > 1 else ''} (s)" for n in sorted(best))
+        + " | N->4N speedup |",
+        "|---|" + "---|" * (len(best) + 1),
     ]
     for s in lo["stages"]:
-        s_lo, s_mid, s_hi = lo["stages"][s], mid["stages"][s], hi["stages"][s]
+        cells = " | ".join(f"{best[n]['stages'][s]:.2f}" for n in sorted(best))
         lines.append(
-            f"| {s} | {s_lo:.2f} | {s_mid:.2f} | {s_hi:.2f} |"
-            f" {s_lo / max(s_hi, 1e-9):.2f}x |"
+            f"| {s} | {cells} |"
+            f" {lo['stages'][s] / max(hi['stages'][s], 1e-9):.2f}x |"
         )
     lines += [
-        f"| **total** | {lo['total_sec']:.2f} | {mid['total_sec']:.2f} |"
-        f" {hi['total_sec']:.2f} | {speedup:.2f}x |",
+        "| **total** | "
+        + " | ".join(f"{best[n]['total_sec']:.2f}" for n in sorted(best))
+        + f" | {speedup:.2f}x |",
         "",
         f"- candidate pairs generated+scored: {hi['counts']['candidate_pairs']}"
         f" (matches: {hi['counts']['matches']}, clusters: {hi['counts']['clusters']};"
         " identical at every level — determinism under re-partitioning)",
-        f"- **throughput**: {thr_lo:.0f} pairs/s at N -> {thr_mid:.0f} at 2N ->"
-        f" {thr_hi:.0f} pairs/s at 4N",
-        f"- **scaling efficiency**: N -> 2N **{(thr_mid / thr_lo) / 2:.2f}**,"
-        f" N -> 4N **{eff:.2f}**",
-        f"- best of {REPEATS} fresh-JVM runs per level (all totals:"
-        f" N {lo['all_totals']}, 2N {mid['all_totals']}, 4N {hi['all_totals']} s)"
-        " — this shared-host sandbox has heavy run-to-run CPU-steal variance"
+        "- **throughput**: "
+        + " -> ".join(
+            f"{best[n]['pairs_per_sec']:.0f} pairs/s at {n} exec" for n in sorted(best)
+        ),
+        f"- **scaling efficiency (pairs/s, N -> {ratio:.0f}N executors)**: **{eff:.2f}**",
+        f"- best of {REPEATS} fresh-JVM runs per level (all totals: "
+        + "; ".join(f"{n} exec {best[n]['all_totals']}" for n in sorted(best))
+        + " s) — this shared-host sandbox has heavy run-to-run CPU-steal variance"
         " (same binary, same input, 3-5x total-wall swings); the reference"
         " averages 10 warm iterations on a dedicated machine",
         "",
@@ -210,7 +214,7 @@ def main() -> None:
                 },
                 "suite_speedup": round(speedup, 3),
                 "n_docs": hi["n_docs"],
-                "levels": {"lo": lo, "mid": mid, "hi": hi},
+                "levels": {str(n): best[n] for n in sorted(best)},
             }
         )
     )

@@ -166,7 +166,7 @@ def _block_stats(blocks: DataFrame, clean_clean: bool) -> DataFrame:
 
 
 def purging_threshold(
-    stats_pdf, smoothing: float = 1.025, clamp_factor: float = 25.0
+    hist_pdf, smoothing: float = 1.025, clamp_factor: float = 25.0
 ) -> int:
     """Parameter-free comparison-cardinality cutoff for Block Purging.
 
@@ -197,28 +197,32 @@ def purging_threshold(
       block. A block within 25x the typical block is not a mega-block; one
       beyond it still falls to the scan exactly as before.
 
-    ``stats_pdf``: pandas DF with columns (comparisons, block_size) per block.
-    Driver-side on the distinct-cardinality histogram (tiny at any scale).
+    ``hist_pdf``: pandas DF with one row per DISTINCT comparison cardinality,
+    columns (comparisons, n_blocks, assignments). Only this grouped
+    histogram ever reaches the driver — ~10^3-10^4 rows at any corpus size
+    (one row per distinct block cardinality, never one per block).
     """
-    import pandas as pd  # noqa: F401
+    import numpy as np
 
-    g = (
-        stats_pdf.groupby("comparisons", sort=True)
-        .agg(assignments=("block_size", "sum"), n_blocks=("block_size", "count"))
-        .reset_index()
-    )
+    g = hist_pdf.sort_values("comparisons").reset_index(drop=True)
     if g.empty:
         return 0
-    g["cum_bc"] = g["assignments"].cumsum().astype(float)  # block assignments
-    g["cum_cc"] = (g["comparisons"] * g["n_blocks"]).cumsum().astype(float)
-    cards = g["comparisons"].tolist()
-    bc = g["cum_bc"].tolist()
-    cc = g["cum_cc"].tolist()
+    cards = g["comparisons"].to_numpy()
+    n_blocks = g["n_blocks"].to_numpy()
+    bc = g["assignments"].cumsum().astype(float).tolist()
+    cc = (g["comparisons"] * g["n_blocks"]).cumsum().astype(float).tolist()
     threshold = cards[0]
     for i in range(1, len(cards)):
         if cc[i] * bc[i - 1] < smoothing * cc[i - 1] * bc[i] or cc[i - 1] == 0:
             threshold = cards[i]
-    clamp = math.floor(clamp_factor * float(stats_pdf["comparisons"].median()))
+    # weighted median of the per-block cardinality multiset, interpolated
+    # exactly as pandas Series.median()/DuckDB median() would be on the
+    # expanded per-block rows (the oracle replays it as median(comp))
+    total = int(n_blocks.sum())
+    cum = np.cumsum(n_blocks)
+    lo = cards[np.searchsorted(cum, (total - 1) // 2 + 1)]
+    hi = cards[np.searchsorted(cum, total // 2 + 1)]
+    clamp = math.floor(clamp_factor * ((float(lo) + float(hi)) / 2.0))
     return int(max(threshold, clamp))
 
 
@@ -240,7 +244,14 @@ def block_purging(
     """
     stats = _block_stats(blocks, clean_clean)
     if max_comparisons is None:
-        hist = stats.select("comparisons", "block_size").toPandas()
+        # group to the distinct-cardinality histogram IN SPARK: only
+        # ~10^3-10^4 rows (one per distinct cardinality) reach the driver,
+        # never one per block
+        hist = (
+            stats.groupBy("comparisons")
+            .agg(F.count("*").alias("n_blocks"), F.sum("block_size").alias("assignments"))
+            .toPandas()
+        )
         max_comparisons = purging_threshold(hist, smoothing)
     keep = stats.where(F.col("comparisons") <= F.lit(max_comparisons)).select("block_key")
     return blocks.join(F.broadcast(keep), "block_key", "left_semi")

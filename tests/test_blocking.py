@@ -126,3 +126,34 @@ def test_extended_qgrams_blocking_combinations(spark):
     # t=0.4 -> k=1 -> singles + the pair
     bt2 = B.extended_qgrams_blocking(docs, q=6, threshold=0.4).toPandas()
     assert set(bt2.block_key) == {"abcdef", "bcdefg", "abcdefbcdefg"}
+
+
+def test_purging_threshold_grouped_histogram_matches_per_block_median():
+    """The grouped-histogram weighted median must equal the per-block
+    pandas median (the DuckDB oracle computes median(comp) over per-block
+    rows) — odd and even multiset sizes, interpolated midpoint."""
+    import pandas as pd
+
+    from continuousfilteringbenchmark_spark.operators.blocking import purging_threshold
+
+    for per_block in ([1, 1, 3, 6, 10], [1, 3, 3, 28]):  # odd, even (interp 3.0 -> clamp 75)
+        s = pd.Series(per_block, name="comparisons")
+        hist = (
+            s.value_counts().rename_axis("comparisons").rename("n_blocks").reset_index()
+        )
+        # block_size irrelevant to the median; use size 2 blocks for assignments
+        hist["assignments"] = hist["n_blocks"] * 2
+        t = purging_threshold(hist)
+        # replay: scan threshold on the same data, clamp via pandas median
+        import math
+
+        g = hist.sort_values("comparisons").reset_index(drop=True)
+        bc = g["assignments"].cumsum().astype(float).tolist()
+        cc = (g["comparisons"] * g["n_blocks"]).cumsum().astype(float).tolist()
+        cards = g["comparisons"].tolist()
+        thr = cards[0]
+        for i in range(1, len(cards)):
+            if cc[i] * bc[i - 1] < 1.025 * cc[i - 1] * bc[i] or cc[i - 1] == 0:
+                thr = cards[i]
+        expected = max(thr, math.floor(25.0 * float(s.median())))
+        assert t == expected, (per_block, t, expected)

@@ -415,6 +415,18 @@ def q_metablocking_rcnp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MB.cnp(MB.weighted_pairs(blocks, "CBS", clean_clean=False), k=3, reciprocal=True)
 
 
+def q_metablocking_rwnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14 Reciprocal WNP: an edge survives only if it clears the per-node
+    mean-weight threshold at BOTH endpoints (intersection semantics,
+    reference grids ``blockingWorkflowsL1L2L3/src/l1/SuffixArrays.java:31-35``
+    — the ``RW`` entries). JS weights; the one pruner variant that was
+    unit-only through round 2."""
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    return MB.wnp(MB.weighted_pairs(blocks, "JS", clean_clean=False), reciprocal=True)
+
+
 def q_metablocking_ejs_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 EJS weighting + B11 CEP global top-K. EJS = JS * log10(V/deg_i) *
     log10(V/deg_j) with V = |pair graph| and deg = the NODE's distinct
@@ -683,6 +695,24 @@ def q_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_ivf(vecs, vecs, k=5, n_cells=8, nprobe=8, id_col="vec_id")
 
 
+def q_knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5 IVF top-k in the APPROXIMATE regime (nprobe < n_cells) — the plan
+    that runs at corpus scale: sample-trained k-means quantizer, corpus
+    sharded by nearest cell, each query probing its 4 of 16 cells, exact
+    re-rank inside. Sub-quadratic (the cell join bounds candidates to
+    ~nprobe/n_cells of the corpus per query). No SQL oracle — k-means
+    centroids aren't SQL-replayable — so the driver records the rows-only
+    check; exactness of the IVF plumbing is certified by the full-probe
+    twin ``knn_ivf_embeddings`` (hash-exact vs the brute-force oracle) and
+    recall by the unit tests + N8 tuner."""
+    from continuousfilteringbenchmark_spark.operators.dense import knn_ivf
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return knn_ivf(vecs, vecs, k=5, n_cells=16, nprobe=4, id_col="vec_id")
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: media spans -> synthesized media rows (payload =
     pure function of the ref) -> mapInPandas feature extraction. Output is
@@ -760,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_suffix_blocks": q_extended_suffix_blocks,
         "blast_pairs": q_blast_pairs,
         "metablocking_rcnp": q_metablocking_rcnp,
+        "metablocking_rwnp": q_metablocking_rwnp,
         "metablocking_ejs_cep": q_metablocking_ejs_cep,
         "qgrams_workflow": q_qgrams_workflow,
         "blocking_quality": q_blocking_quality,
@@ -775,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "knn_ivf_approx": q_knn_ivf_approx,
         "media_features": q_media_features,
         "hyperplane_lsh": q_hyperplane_lsh,
         "dedup_assignments": q_dedup_assignments,
@@ -1734,6 +1766,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN mx l ON l.node = w.left_id
             JOIN mx r ON r.node = w.right_id
             WHERE w.weight >= 0.35 * (l.m + r.m) / 2.0
+        """,
+        "metablocking_rwnp": f"""
+            WITH {_TOKS},
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     p.cbs / (l.sz + r.sz - p.cbs) AS weight
+              FROM (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       CAST(count(*) AS DOUBLE) AS cbs
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+              ) p
+              JOIN tsz l ON l.doc_id = p.left_id
+              JOIN tsz r ON r.doc_id = p.right_id
+            ),
+            ne AS (
+              SELECT left_id AS node, left_id, right_id, weight FROM wt
+              UNION ALL
+              SELECT right_id AS node, left_id, right_id, weight FROM wt
+            ),
+            flags AS (
+              SELECT left_id, right_id, weight,
+                     CASE WHEN weight >= avg(weight) OVER (PARTITION BY node)
+                          THEN 1 ELSE 0 END AS pass
+              FROM ne
+            )
+            SELECT left_id, right_id, weight
+            FROM flags GROUP BY left_id, right_id, weight HAVING sum(pass) >= 2
         """,
         "metablocking_rcnp": f"""
             WITH {_TOKS},

@@ -96,16 +96,34 @@ def knn_ivf(
     seed: int = 42,
     vec_col: str = "vec",
     id_col: str = "doc_id",
+    train_points_per_cell: int = 256,
 ) -> DataFrame:
     """IVF-style approximate top-k: k-means coarse quantizer (seeded MLlib),
     corpus sharded by nearest cell, queries probe ``nprobe`` cells, exact
     re-rank within. FAISS ``IVF{n},Flat`` parity
     (``nnmethods/scalabilityAnalysis/FAISS.py`` config IVF1600/nprobe80).
+
+    The quantizer is fit on a BOUNDED SAMPLE of ~``train_points_per_cell *
+    n_cells`` vectors (FAISS trains its IVF on a sample for the same
+    reason) — at 10^9+ vectors a full-corpus k-means fit is itself a
+    scale-killer, while cell routing and re-rank only need centroids that
+    roughly partition the space. The sample is seeded (deterministic per
+    input); when the corpus is smaller than the budget every vector trains.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(_norm(vec_col)).alias("features"))
+    budget = max(train_points_per_cell * n_cells, n_cells)
+    # bounded, deterministic training set: sample() needs a fraction (a
+    # count()-free estimate would be another job), so take the first
+    # ``budget`` rows ordered by a seeded hash — one small job, and the
+    # same rows regardless of partitioning
+    train = (
+        corpus.select(_norm(vec_col).alias("_v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_s"))
+        .orderBy("_s")
+        .limit(budget)
+        .select(array_to_vector(F.col("_v")).alias("features"))
+    )
     km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
     centers = [
         (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in km.clusterCenters()

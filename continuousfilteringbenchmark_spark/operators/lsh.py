@@ -26,9 +26,13 @@ bit-for-bit by a SQL oracle on any engine with ``md5``:
   all agree exactly);
 * band bucket = ``((sum(sig_band) mod P) * LARGE_PRIME) mod n_buckets``.
 
-The whole signature pipeline is native Spark SQL (array expressions inside
-whole-stage codegen — zero Python in the hot path); the band join +
-distinct is plain DataFrame code — Spark's shuffle is the bucket table.
+Execution split: token->int40 hashing is native Spark SQL (md5 inside
+whole-stage codegen; only primitive longs cross the Arrow boundary); the
+192-permutation signature min is ONE vectorized numpy pandas-UDF (Catalyst
+evaluates higher-order array lambdas interpreted, per element — measured
+~10x slower than the numpy broadcast over identical int64 math); the band
+join + distinct is plain DataFrame code — Spark's shuffle is the bucket
+table.
 """
 
 from __future__ import annotations

@@ -69,18 +69,66 @@ def _np_set_similarity(c, a, b, kind: str):
 
 
 # bitset-kernel caps (see _score_pairs_arrow): max 64-bit words per doc
-# (vocabulary <= 4096) and max total dictionary bytes; tests override these
+# (vocabulary <= 4096) and max bitset-buffer bytes; tests override these
 # to force each kernel
 _BITSET_MAX_WORDS = 64
 _BITSET_MAX_BYTES = 256 * 1024 * 1024
+# broadcast-dictionary budget in BYTES (8 B per hashed token + per-doc id
+# overhead) — the row-counted cap alone would admit 1M docs x 100 tokens
+# ~ 800+ MB on the driver
+_DICT_MAX_BYTES = 256 * 1024 * 1024
+_DICT_DOC_OVERHEAD = 48  # id string + offset slot per doc, estimated
+
+# token-table probe results keyed by (applicationId, semanticHash(hashed),
+# cap): repeated score_pairs constructions over the same token table (bench
+# iterations, pipeline stages sharing one tokenizer) pay the probe job ONCE
+_probe_cache: dict[tuple, dict] = {}
+
+
+def _token_stats(hashed: DataFrame, cap: int) -> dict:
+    """ONE bounded Spark job over at most ``cap + 1`` docs of the hashed
+    token table: doc count (bounded), total token count, approximate
+    vocabulary. Cached per (session, plan) so re-constructions are free."""
+    key = (
+        hashed.sparkSession.sparkContext.applicationId,
+        hashed.semanticHash(),
+        cap,
+    )
+    hit = _probe_cache.get(key)
+    if hit is not None:
+        return hit
+    row = (
+        hashed.limit(cap + 1)
+        .select(F.posexplode_outer("_h").alias("_pos", "_t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.coalesce(F.col("_pos"), F.lit(0)) == 0, 1)), F.lit(0)
+            ).alias("n_docs"),
+            F.count("_t").alias("n_tokens"),
+            F.approx_count_distinct("_t").alias("v_est"),
+        )
+        .collect()[0]
+    )
+    stats = {
+        "n_docs": int(row["n_docs"]),
+        "n_tokens": int(row["n_tokens"]),
+        "v_est": int(row["v_est"]),
+    }
+    stats["dict_bytes"] = stats["n_tokens"] * 8 + stats["n_docs"] * _DICT_DOC_OVERHEAD
+    _probe_cache[key] = stats
+    return stats
 
 
 def _score_pairs_arrow(
-    pairs: DataFrame, hashed: DataFrame, sim: str, min_score: float | None
-) -> DataFrame:
+    pairs: DataFrame,
+    hashed: DataFrame,
+    sim: str,
+    min_score: float | None,
+    allow_sort: bool = True,
+) -> DataFrame | None:
     """Arrow-batched pair scorer over a broadcast token dictionary.
 
-    The token table is collected once (caller gates on ``broadcast_rows``)
+    The token table is collected once (caller gates on the row/byte caps)
     into three flat numpy arrays (ids, concatenated token ids, offsets) and
     broadcast to the python workers; only (left_id, right_id) crosses Arrow.
     Per batch the intersection counts are computed fully vectorized: gather
@@ -89,6 +137,15 @@ def _score_pairs_arrow(
     No per-row python — the batch cost is two numpy sort passes over the
     batch's tokens (north rule: "vectorized pandas/Arrow UDFs computing
     batched Jaccard ... scores", no per-row Python).
+
+    Pairs referencing a doc_id absent from the token table are DROPPED —
+    the same semantics as the jvm engine's inner join (engine choice can
+    never change the result).
+
+    ``allow_sort=False``: if the exact vocabulary busts the bitset caps,
+    return None instead of falling back to the sort kernel — the caller
+    (auto routing) then builds the jvm plan, which beats the sort kernel
+    on large vocabularies.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -113,6 +170,8 @@ def _score_pairs_arrow(
     # while W stays small; past the caps the single-key sort kernel takes
     # over (this host: 65k-pair batch = ~4ms at W=1 vs ~2s sorted)
     use_bitset = W <= _BITSET_MAX_WORDS and n_docs * W * 8 <= _BITSET_MAX_BYTES
+    if not use_bitset and not allow_sort:
+        return None
     if use_bitset:
         bits = np.zeros(n_docs * W, dtype=np.uint64)
         word = np.repeat(np.arange(n_docs, dtype=np.int64) * W, lens) + (ranks >> 6)
@@ -155,8 +214,14 @@ def _score_pairs_arrow(
             lv, rv = pdf["left_id"].values, pdf["right_id"].values
             li = index.get_indexer(lv)
             ri = index.get_indexer(rv)
-            if (li < 0).any() or (ri < 0).any():
-                raise KeyError("candidate pair references a doc_id missing from the token table")
+            # pairs whose doc_id is absent from the token table are dropped —
+            # identical to the jvm engine's inner join semantics
+            present = (li >= 0) & (ri >= 0)
+            if not present.all():
+                lv, rv, li, ri = lv[present], rv[present], li[present], ri[present]
+                n = len(lv)
+                if n == 0:
+                    continue
             lsz, rsz = doc_lens[li], doc_lens[ri]
             if min_score is not None:
                 # exact upper bound: score is maximal at c = min(|A|,|B|) —
@@ -234,42 +299,67 @@ def score_pairs(
     intersection work — pure codegen in the jvm path, vectorized numpy in
     the arrow path.
 
-    The ``broadcast_rows`` probe is a bounded ``limit(cap+1).count()`` —
-    it stops scanning at the cap instead of counting the whole table.
+    Probe budget (what runs at CONSTRUCTION time, before any action on the
+    returned plan):
+
+    * ``engine='jvm'`` — ZERO jobs; broadcast-vs-shuffle is left to AQE's
+      runtime statistics (the session enables adaptive execution).
+    * ``engine='auto'`` / ``engine='arrow'`` with a cap — ONE job, bounded
+      to ``broadcast_rows + 1`` docs, computing (doc count, token count,
+      approx vocabulary) in a single pass; cached per (session, token-table
+      plan), so repeated constructions over the same table probe once.
+      Auto additionally collects the dictionary when it picks arrow (that
+      collect is the point of the arrow engine).
+    * ``engine='arrow'`` with ``broadcast_rows=None`` — caller accepts an
+      unbounded driver collect (no probe, no caps).
+
+    Both caps are enforced in BYTES, not rows: the broadcast dictionary
+    must fit ``_DICT_MAX_BYTES`` and the bitset buffer ``_BITSET_MAX_BYTES``.
+    Under auto, if the exact vocabulary (known only after the collect)
+    busts the bitset caps, the jvm plan is used — never the sort kernel,
+    which loses to the jvm join at exactly those sizes.
     """
+    if engine not in ("auto", "jvm", "arrow"):
+        raise ValueError(f"unknown engine {engine!r} (one of auto/jvm/arrow)")
     hashed = tokened.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
-    under_cap = (
-        broadcast_rows is not None
-        and tokened.limit(broadcast_rows + 1).count() <= broadcast_rows
-    )
-    if engine == "auto":
-        # arrow only when its bitset kernel will apply (small vocabulary):
-        # the sort kernel exists as an explicit engine='arrow' choice but
-        # does not beat the jvm join on large vocabularies. Probing the
-        # vocabulary costs two small jobs, only run when under the cap
-        # (<= broadcast_rows docs).
-        engine = "jvm"
-        if under_cap:
-            v_est = (
-                hashed.select(F.explode("_h").alias("_t"))
-                .agg(F.approx_count_distinct("_t").alias("v"))
-                .collect()[0]["v"]
-            )
-            w_est = (int(v_est * 1.2) + 63) // 64
-            if (
-                w_est <= _BITSET_MAX_WORDS
-                and tokened.count() * w_est * 8 <= _BITSET_MAX_BYTES
-            ):
-                engine = "arrow"
-    if engine == "arrow":
-        if not under_cap:
+
+    hint_broadcast = False
+    if engine == "arrow" and broadcast_rows is not None:
+        stats = _token_stats(hashed, broadcast_rows)
+        if stats["n_docs"] > broadcast_rows:
             raise ValueError(
                 "engine='arrow' needs the token table under broadcast_rows "
-                f"({broadcast_rows}); use engine='jvm' beyond the cap"
+                f"({broadcast_rows}); use engine='jvm' beyond the cap, or "
+                "broadcast_rows=None to accept an unbounded collect"
             )
-        return _score_pairs_arrow(pairs, hashed, sim, min_score)
-    if engine != "jvm":
-        raise ValueError(f"unknown engine {engine!r} (one of auto/jvm/arrow)")
+        if stats["dict_bytes"] > _DICT_MAX_BYTES:
+            raise ValueError(
+                f"engine='arrow' dictionary would be ~{stats['dict_bytes']} bytes "
+                f"(cap {_DICT_MAX_BYTES}); use engine='jvm', or broadcast_rows="
+                "None to accept the collect anyway"
+            )
+    if engine == "auto":
+        engine = "jvm"
+        if broadcast_rows is not None:
+            stats = _token_stats(hashed, broadcast_rows)
+            under = (
+                stats["n_docs"] <= broadcast_rows
+                and stats["dict_bytes"] <= _DICT_MAX_BYTES
+            )
+            hint_broadcast = under
+            w_est = (int(stats["v_est"] * 1.2) + 63) // 64
+            if (
+                under
+                and w_est <= _BITSET_MAX_WORDS
+                and stats["n_docs"] * w_est * 8 <= _BITSET_MAX_BYTES
+            ):
+                out = _score_pairs_arrow(
+                    pairs, hashed, sim, min_score, allow_sort=False
+                )
+                if out is not None:
+                    return out
+    if engine == "arrow":
+        return _score_pairs_arrow(pairs, hashed, sim, min_score, allow_sort=True)
 
     lt = hashed.select(
         F.col("doc_id").alias("left_id"),
@@ -281,7 +371,7 @@ def score_pairs(
         F.col("_h").alias("_rtok"),
         F.size("_h").alias("_rsz"),
     )
-    if under_cap:
+    if hint_broadcast:
         lt, rt = F.broadcast(lt), F.broadcast(rt)
     scored = pairs.join(lt, "left_id").join(rt, "right_id")
     if min_score is not None:

@@ -53,3 +53,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_session_caches(spark: SparkSession) -> None:
+    """Drop every cached DataFrame AND every persisted RDD block (which
+    includes ``localCheckpoint`` storage — ``catalog.clearCache()`` alone
+    does not touch those).
+
+    Library operators persist reused stages for the lifetime of the plans
+    they return (e.g. the minhash shingle table feeds both the band join and
+    the verification join); a session that runs many queries — the bench
+    loop, a long notebook — calls this between units of work so caches from
+    finished queries can't accumulate into memory pressure (round-2
+    regression: 48 GB JVM RSS across 3 bench iterations).
+    """
+    spark.catalog.clearCache()
+    m = spark.sparkContext._jsc.getPersistentRDDs()
+    for rid in list(m.keySet().toArray()):
+        m[rid].unpersist(False)

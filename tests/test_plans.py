@@ -61,6 +61,61 @@ def test_blast_prune_no_forced_broadcast(spark, toy):
     assert "ResolvedHint" not in _analyzed(df)
 
 
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tiny_vecs(spark):
+    import math
+
+    rows = [
+        (f"v{i}", [math.sin(i * 0.7 + d) for d in range(8)]) for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "vec_id string, vec array<double>")
+
+
+def test_range_search_lsh_has_no_quadratic_join(spark, tiny_vecs):
+    """The scale path must never fall back to a cross join: candidates come
+    from the band-bucket equi-join, verification from hash equi-joins."""
+    from continuousfilteringbenchmark_spark.operators.dense import range_search
+
+    out = range_search(tiny_vecs, None, threshold=0.35, id_col="vec_id",
+                       method="lsh", lsh_tables=4, lsh_bits=4)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_embedding_dedup_has_no_quadratic_join(spark, tiny_vecs):
+    """End-to-end embedding dedup (LSH candidates -> verify -> CC -> keep/
+    drop): every join in the final assignment plan is an equi-join."""
+    from continuousfilteringbenchmark_spark.operators.dedup import dedup_assignments
+    from continuousfilteringbenchmark_spark.operators.dense import range_search
+
+    pairs = range_search(tiny_vecs, None, threshold=0.35, id_col="vec_id",
+                         method="lsh", lsh_tables=4, lsh_bits=4)
+    out = dedup_assignments(tiny_vecs.select(F.col("vec_id").alias("doc_id")), pairs)
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_ivf_has_no_quadratic_candidate_join(spark, tiny_vecs):
+    """IVF in the approximate regime: the query-corpus join is the cell
+    equi-join; the only cross join in the plan is against the BROADCAST
+    centroid table (n_cells rows — a constant, not a relation)."""
+    from continuousfilteringbenchmark_spark.operators.dense import knn_ivf
+
+    out = knn_ivf(tiny_vecs, tiny_vecs, k=3, n_cells=4, nprobe=2, id_col="vec_id")
+    plan = _physical(out)
+    assert "CartesianProduct" not in plan, plan
+    # centroid fan-out is an explicit broadcast of an n_cells-row table;
+    # any OTHER nested-loop join would pair two real relations
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert n_bnlj <= 2, plan  # one per _assign_cells call (corpus + queries)
+
+
 def test_ejs_dirty_degree_is_node_centric(spark):
     # dirty-ER triangle 1-2-3 plus pendant 4: node 2 has edges (1,2) and
     # (2,3) — one in each ROLE. Node-centric deg(2)=2; a per-role count

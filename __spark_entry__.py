@@ -427,6 +427,30 @@ def q_metablocking_rwnp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MB.wnp(MB.weighted_pairs(blocks, "JS", clean_clean=False), reciprocal=True)
 
 
+def q_metablocking_dice_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 DICE weighting (JedAI-3.01 grid id 2: 2*CBS/(|B_i|+|B_j|)) + B10
+    WEP — one of the 9 weighting schemes added for the tuned-config
+    registry (``configs.WEIGHTING_SCHEME_GRID``)."""
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    return MB.wep(MB.weighted_pairs(blocks, "DICE", clean_clean=False))
+
+
+def q_metablocking_sizenorm_js_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B9 SIZE_NORM_JS weighting (grid id 14: block-size-normalized Jaccard,
+    the most common scheme in the reference's L2/L3 tuned grids) + B13 CNP
+    k=3. Weights are 9-decimal-rounded before ranking (the sn sums are
+    order-dependent float additions, same discipline as arcs_cep)."""
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    weighted = MB.weighted_pairs(blocks, "SIZE_NORM_JS", clean_clean=False).withColumn(
+        "weight", F.round("weight", 9)
+    )
+    return MB.cnp(weighted, k=3)
+
+
 def q_metablocking_ejs_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B9 EJS weighting + B11 CEP global top-K. EJS = JS * log10(V/deg_i) *
     log10(V/deg_j) with V = |pair graph| and deg = the NODE's distinct
@@ -791,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blast_pairs": q_blast_pairs,
         "metablocking_rcnp": q_metablocking_rcnp,
         "metablocking_rwnp": q_metablocking_rwnp,
+        "metablocking_dice_wep": q_metablocking_dice_wep,
+        "metablocking_sizenorm_js_cnp": q_metablocking_sizenorm_js_cnp,
         "metablocking_ejs_cep": q_metablocking_ejs_cep,
         "qgrams_workflow": q_qgrams_workflow,
         "blocking_quality": q_blocking_quality,
@@ -1766,6 +1792,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN mx l ON l.node = w.left_id
             JOIN mx r ON r.node = w.right_id
             WHERE w.weight >= 0.35 * (l.m + r.m) / 2.0
+        """,
+        "metablocking_dice_wep": f"""
+            WITH {_TOKS},
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     2.0 * p.cbs / (l.sz + r.sz) AS weight
+              FROM (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                       CAST(count(*) AS DOUBLE) AS cbs
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+              ) p
+              JOIN tsz l ON l.doc_id = p.left_id
+              JOIN tsz r ON r.doc_id = p.right_id
+            ),
+            m AS (SELECT avg(weight) AS mw FROM wt)
+            SELECT left_id, right_id, weight
+            FROM wt CROSS JOIN m WHERE weight >= mw
+        """,
+        "metablocking_sizenorm_js_cnp": f"""
+            WITH {_TOKS},
+            bsz AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+            psn AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     sum(1.0 / s.n) AS sn
+              FROM toks a
+              JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              JOIN bsz s ON s.tok = a.tok
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            esn AS (
+              SELECT t.doc_id, sum(1.0 / s.n) AS sn_e
+              FROM toks t JOIN bsz s ON s.tok = t.tok GROUP BY t.doc_id
+            ),
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     round(p.sn / (l.sn_e + r.sn_e - p.sn), 9) AS weight
+              FROM psn p
+              JOIN esn l ON l.doc_id = p.left_id
+              JOIN esn r ON r.doc_id = p.right_id
+            ),
+            ne AS (
+              SELECT left_id AS node, left_id, right_id, weight, right_id AS other
+              FROM wt
+              UNION ALL
+              SELECT right_id AS node, left_id, right_id, weight, left_id AS other
+              FROM wt
+            ),
+            flags AS (
+              SELECT left_id, right_id, weight,
+                     CASE WHEN row_number() OVER (PARTITION BY node
+                                                  ORDER BY weight DESC, other ASC) <= 3
+                          THEN 1 ELSE 0 END AS pass
+              FROM ne
+            )
+            SELECT left_id, right_id, weight
+            FROM flags
+            GROUP BY left_id, right_id, weight
+            HAVING sum(pass) >= 1
         """,
         "metablocking_rwnp": f"""
             WITH {_TOKS},

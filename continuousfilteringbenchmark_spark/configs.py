@@ -1,0 +1,332 @@
+"""The reference's tuned per-dataset configuration registry.
+
+The benchmark's actual operating points are the per-dataset "magic number"
+arrays in each driver of ``blockingWorkflowsL1L2L3`` (one array entry per
+dataset D1..D10, one driver per blocking method x recall level L1/L2/L3)
+and the joins drivers. They are GRID IDS into JedAI's numbered parameter
+grids, not raw parameter values; this module ships both the verbatim
+arrays (asserted against the cited sources by ``tests/test_configs.py``)
+and the decoded engine-level parameters.
+
+Grid-id decoding (read from the bundled ``jedai-core-3.01-SNAPSHOT.jar``
+bytecode, the exact build the L1L2L3 drivers link against):
+
+* ``BlockFiltering.setNumberedGridConfiguration(i)`` -> ratio
+  ``0.025 * (i + 1)`` (DblGrid max=1.0 min=0.025 step=0.025;
+  ``BlockFiltering.<init>``).
+* comparison-cleaning ``setNumberedGridConfiguration(i)`` ->
+  ``WeightingScheme.values()[i]`` over the 15-value enum (declaration
+  order below; ``WeightedEdgePruning.setNumberedGridConfiguration``).
+* ``QGramsBlocking`` -> ``q = 2 + i`` (IntGrid max=6 min=2 step=1 — the
+  drivers pass ids past the nominal grid end unchecked, so id 6 -> q=8).
+* ``SuffixArraysBlocking`` / ``ExtendedSuffixArraysBlocking`` ->
+  ``max_frequency = 1 + i // 5``, ``min_length = 2 + i % 5``
+  (gridMBSize = IntGrid(100,1,1), gridMSLength = IntGrid(6,2,1);
+  ``SuffixArraysBlocking.setNumberedGridConfiguration``).
+* ``ExtendedQGramsBlocking`` -> ``q = 2 + i // 3``,
+  ``threshold = 0.8 + 0.05 * (i % 3)`` (gridThreshold =
+  DblGrid(0.95,0.8,0.05) whose float32 config count is 3).
+
+Blocking-driver sources (all ``/root/reference/blockingWorkflowsL1L2L3/
+src/{l1,l2,l3}/``): ``TokenBlocking.java:34-47``, ``QGramsBlocks.java:
+34-48``, ``SuffixArrays.java:31-44``, ``ExtendedQGramsBlocks.java:34-48``,
+``ExtendedSuffixArrays.java:31-44``. Join sources: ``joins/src/joins/
+SchemaAgnosticEJoin.java:31-41``, ``TopKSchemaAgnosticJoin.java:28-47``,
+``SchemaBasedEJoin.java:31-40``, ``TopKSchemaBasedJoin.java:28-45``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# the 10 Clean-Clean dataset pairs, driver order (TokenBlocking.java:30-33)
+DATASETS = tuple(f"D{i}" for i in range(1, 11))
+DATASET_SOURCES = (
+    ("restaurant1Profiles", "restaurant2Profiles"),
+    ("abtProfiles", "buyProfiles"),
+    ("amazonProfiles", "gpProfiles"),
+    ("dblpProfiles", "acmProfiles"),
+    ("imdbProfilesNEW", "tmdbProfiles"),
+    ("imdbProfilesNEW", "tvdbProfiles"),
+    ("tmdbProfiles", "tvdbProfiles"),
+    ("walmartProfiles", "amazonProfiles2"),
+    ("dblpProfiles2", "scholarProfiles"),
+    ("imdbProfiles", "dbpediaProfiles"),
+)
+
+# WeightingScheme enum of jedai-core-3.01-SNAPSHOT, declaration order =
+# grid-id order (decompiled enum static initializer)
+WEIGHTING_SCHEME_GRID = (
+    "CBS",
+    "COSINE",
+    "DICE",
+    "ECBS",
+    "JS",
+    "EJS",
+    "PEARSON_X2",
+    "CARDINALITY_NORM_CBS",
+    "CARDINALITY_NORM_COSINE",
+    "CARDINALITY_NORM_DICE",
+    "CARDINALITY_NORM_JS",
+    "SIZE_NORM_CBS",
+    "SIZE_NORM_COSINE",
+    "SIZE_NORM_DICE",
+    "SIZE_NORM_JS",
+)
+
+
+def weight_scheme_from_grid(i: int) -> str:
+    return WEIGHTING_SCHEME_GRID[i]
+
+
+def bf_ratio_from_grid(i: int) -> float:
+    return 0.025 * (i + 1)
+
+
+def qgrams_q_from_grid(i: int) -> int:
+    return 2 + i
+
+
+def suffix_conf_from_grid(i: int) -> tuple[int, int]:
+    """(max_frequency, min_length)."""
+    return 1 + i // 5, 2 + i % 5
+
+
+def extended_qgrams_conf_from_grid(i: int) -> tuple[int, float]:
+    """(q, combination_threshold)."""
+    return 2 + i // 3, 0.8 + 0.05 * (i % 3)
+
+
+# ---------------------------------------------------------------- blocking
+# verbatim grid-id arrays per (method, level); index = dataset D1..D10.
+# bp: block purging on iff > 0. bf: BlockFiltering grid id, skipped iff <= 0
+# in the TokenBlocking/QGrams/ExtendedQGrams drivers (Suffix drivers run no
+# BlockFiltering at all -> None). bb: block-building grid id (q for qgrams,
+# combined id for suffix/extended). ws: weighting-scheme grid id.
+# mb: comparison-cleaning algorithm enum name, verbatim.
+
+_WEP = "WEIGHTED_EDGE_PRUNING"
+_WNP = "WEIGHTED_NODE_PRUNING"
+_CEP = "CARDINALITY_EDGE_PRUNING"
+_CNP = "CARDINALITY_NODE_PRUNING"
+_RCNP = "RECIPROCAL_CARDINALITY_NODE_PRUNING"
+_RWNP = "RECIPROCAL_WEIGHTING_NODE_PRUNING"
+_BLAST = "BLAST"
+
+BLOCKING_TUNED: dict[tuple[str, str], dict[str, tuple]] = {
+    ("token_blocking", "L1"): {
+        "bp": (1, 1, 1, 1, 1, -1, -1, 1, 1, 1),
+        "bf": (39, 24, 32, 8, 29, -1, 8, 15, 24, 39),
+        "ws": (11, 14, 12, 5, 0, 0, 4, 7, 0, 6),
+        "mb": (_WEP, _BLAST, _RCNP, _RCNP, _WEP, _RCNP, _RCNP, _RCNP, _RCNP, _BLAST),
+    },
+    ("token_blocking", "L2"): {
+        "bp": (-1, -1, -1, 1, 1, -1, -1, 1, 1, -1),
+        "bf": (1, 30, 21, 8, 39, 38, 13, 19, 24, 32),
+        "ws": (11, 14, 12, 5, 0, 0, 0, 12, 4, 6),
+        "mb": (_WEP, _BLAST, _RCNP, _RCNP, _RCNP, _RCNP, _RCNP, _RCNP, _RCNP, _BLAST),
+    },
+    ("token_blocking", "L3"): {
+        "bp": (-1, -1, -1, 1, 1, -1, -1, 1, 1, 1),
+        "bf": (1, 30, 28, 10, 39, 39, 34, 34, 30, 29),
+        "ws": (11, 5, 12, 3, 3, 3, 0, 14, 0, 3),
+        "mb": (_WEP, _BLAST, _CEP, _RWNP, _RCNP, _RCNP, _RCNP, _RCNP, _RCNP, _BLAST),
+    },
+    ("qgrams_blocking", "L1"): {
+        "bb": (4, 2, 4, 4, 4, 4, 4, 4, 1, 6),
+        "bp": (-1, 1, 1, 1, 1, -1, -1, 1, -1, -1),
+        "bf": (0, 2, 27, 2, 16, 26, 6, 10, 20, 23),
+        "ws": (7, 7, 12, 6, 10, 0, 0, 11, 6, 3),
+        "mb": (_WEP, _RWNP, _RCNP, _RCNP, _WEP, _RCNP, _RCNP, _RCNP, _BLAST, _BLAST),
+    },
+    ("qgrams_blocking", "L2"): {
+        "bb": (2, 2, 4, 4, 4, 4, 4, 3, 1, 2),
+        "bp": (-1, -1, 1, 1, -1, -1, -1, 1, -1, 1),
+        "bf": (1, 3, 37, 3, 16, 34, 8, 11, 20, 37),
+        "ws": (0, 10, 12, 5, 7, 3, 11, 11, 6, 6),
+        "mb": (_WEP, _RWNP, _RCNP, _WEP, _RCNP, _RCNP, _RCNP, _RCNP, _BLAST, _BLAST),
+    },
+    ("qgrams_blocking", "L3"): {
+        "bb": (2, 2, 4, 4, 4, 4, 3, 4, 1, 2),
+        "bp": (1, 1, -1, 1, -1, -1, 1, 1, -1, 1),
+        "bf": (17, 8, 35, 4, 23, 35, 15, 23, 20, 37),
+        "ws": (0, 14, 12, 10, 11, 11, 14, 11, 6, 1),
+        "mb": (_RCNP, _BLAST, _RCNP, _WEP, _RCNP, _RCNP, _BLAST, _RCNP, _BLAST, _BLAST),
+    },
+    ("suffix_arrays_blocking", "L1"): {
+        "bb": (5, 60, 209, 29, 144, 489, 49, 38, 494, 467),
+        "ws": (6, 14, 12, 10, 3, 11, 10, 10, 0, 1),
+        "mb": (_RWNP, _BLAST, _RCNP, _RWNP, _RCNP, _RCNP, _BLAST, _RWNP, _RCNP, _BLAST),
+    },
+    ("suffix_arrays_blocking", "L2"): {
+        "bb": (5, 155, 404, 39, 164, 394, 79, 304, 499, 474),
+        "ws": (6, 14, 12, 10, 10, 7, 14, 14, 1, 12),
+        "mb": (_RWNP, _BLAST, _RCNP, _BLAST, _RWNP, _RWNP, _BLAST, _RCNP, _RCNP, _WEP),
+    },
+    ("suffix_arrays_blocking", "L3"): {
+        "bb": (5, 496, 389, 59, 479, 494, 308, 472, 490, 499),
+        "ws": (6, 12, 12, 10, 7, 11, 14, 11, 6, 12),
+        "mb": (_RWNP, _BLAST, _CNP, _BLAST, _RWNP, _CNP, _BLAST, _RCNP, _BLAST, _WNP),
+    },
+    ("extended_qgrams_blocking", "L1"): {
+        "bb": (6, 0, 14, 7, 8, 14, 2, 0, 14, 5),
+        "bp": (-1, -1, 1, 1, 1, -1, -1, -1, -1, -1),
+        "bf": (0, 1, 29, 0, 18, 38, 1, 0, 9, 23),
+        "ws": (3, 12, 8, 6, 10, 0, 3, 7, 0, 6),
+        "mb": (_WEP, _BLAST, _WEP, _RCNP, _BLAST, _RCNP, _RCNP, _WEP, _RCNP, _BLAST),
+    },
+    ("extended_qgrams_blocking", "L2"): {
+        "bb": (6, 8, 14, 10, 2, 12, 8, 14, 14, 5),
+        "bp": (-1, -1, 1, 1, 1, -1, 1, 1, -1, -1),
+        "bf": (0, 31, 36, 2, 18, 38, 17, 13, 12, 29),
+        "ws": (3, 13, 8, 5, 14, 0, 10, 7, 0, 6),
+        "mb": (_WEP, _BLAST, _WEP, _WEP, _BLAST, _RCNP, _BLAST, _RCNP, _RCNP, _BLAST),
+    },
+    ("extended_qgrams_blocking", "L3"): {
+        "bb": (2, 0, 14, 4, 14, 14, 8, 14, 14, 5),
+        "bp": (-1, 1, -1, 1, -1, -1, 1, 1, -1, 1),
+        "bf": (0, 33, 34, 2, 23, 32, 28, 26, 15, 33),
+        "ws": (3, 10, 12, 10, 7, 11, 9, 11, 14, 1),
+        "mb": (_WEP, _WNP, _RCNP, _WEP, _RCNP, _RCNP, _BLAST, _RCNP, _RCNP, _BLAST),
+    },
+    ("extended_suffix_arrays_blocking", "L1"): {
+        "bb": (29, 20, 269, 29, 89, 124, 54, 39, 304, 394),
+        "ws": (7, 10, 8, 10, 10, 12, 10, 9, 14, 12),
+        "mb": (_WEP, _BLAST, _WEP, _RWNP, _RWNP, _RWNP, _BLAST, _RWNP, _RCNP, _RCNP),
+    },
+    ("extended_suffix_arrays_blocking", "L2"): {
+        "bb": (10, 36, 414, 37, 199, 429, 104, 103, 419, 469),
+        "ws": (14, 10, 8, 10, 10, 7, 10, 10, 6, 12),
+        "mb": (_WEP, _BLAST, _WEP, _BLAST, _RWNP, _RWNP, _BLAST, _BLAST, _RCNP, _CNP),
+    },
+    ("extended_suffix_arrays_blocking", "L3"): {
+        "bb": (29, 110, 454, 72, 399, 349, 419, 404, 469, 498),
+        "ws": (3, 12, 12, 10, 8, 8, 12, 7, 12, 12),
+        "mb": (_WEP, _BLAST, _WNP, _BLAST, _RWNP, _WNP, _BLAST, _RCNP, _BLAST, _CNP),
+    },
+}
+
+# ------------------------------------------------------------------- joins
+# SchemaAgnosticEJoin.java:31-41 / TopKSchemaAgnosticJoin.java:28-47 /
+# SchemaBasedEJoin.java:31-40 / TopKSchemaBasedJoin.java:28-45.
+# Values are VERBATIM driver literals (thresholds are the floats printed
+# in the source; tokenizer/similarity are the enum names).
+
+JOIN_TUNED: dict[str, dict[str, tuple]] = {
+    "epsilon_schema_agnostic": {
+        "threshold": (0.82, 0.26, 0.08, 0.58, 0.16, 0.34, 0.49, 0.28, 0.35, 0.15),
+        "similarity": ("COSINE", "COSINE", "COSINE", "JACCARD", "COSINE",
+                       "COSINE", "COSINE", "JACCARD", "JACCARD", "COSINE"),
+        "tokenizer": ("WHITESPACE", "CHARACTER_TRIGRAMS", "CHARACTER_FIVEGRAMS",
+                      "WHITESPACE", "CHARACTER_FIVEGRAMS_MULTISET",
+                      "CHARACTER_BIGRAMS", "WHITESPACE_MULTISET",
+                      "CHARACTER_TRIGRAMS_MULTISET", "CHARACTER_TRIGRAMS_MULTISET",
+                      "WHITESPACE"),
+    },
+    "topk_schema_agnostic": {
+        "k": (1, 4, 26, 1, 1, 1, 1, 2, 1, 5),
+        "reversed": (True, False, True, False, False, False, False, True, True, True),
+        "similarity": ("DICE", "COSINE", "COSINE", "COSINE", "COSINE",
+                       "COSINE", "COSINE", "COSINE", "COSINE", "COSINE"),
+        "tokenizer": ("CHARACTER_FOURGRAMS_MULTISET", "CHARACTER_TRIGRAMS_MULTISET",
+                      "CHARACTER_FIVEGRAMS_MULTISET", "CHARACTER_BIGRAMS_MULTISET",
+                      "CHARACTER_FIVEGRAMS", "CHARACTER_FIVEGRAMS",
+                      "CHARACTER_FIVEGRAMS", "CHARACTER_FOURGRAMS_MULTISET",
+                      "CHARACTER_FOURGRAMS", "CHARACTER_FOURGRAMS"),
+    },
+    # the schema-based drivers cover 6 of the 10 datasets (D1-D4, D8, D9)
+    "epsilon_schema_based": {
+        "datasets": ("D1", "D2", "D3", "D4", "D8", "D9"),
+        "threshold": (0.63, 0.38, 0.39, 1.00, 0.15, 0.74),
+        "attribute": ("Name", "Name", "Title", "Title", "Title", "Title"),
+        "similarity": ("COSINE",) * 6,
+        "tokenizer": ("CHARACTER_FOURGRAMS", "CHARACTER_TRIGRAMS_MULTISET",
+                      "CHARACTER_TRIGRAMS", "WHITESPACE", "CHARACTER_TRIGRAMS",
+                      "CHARACTER_TRIGRAMS_MULTISET"),
+    },
+    "topk_schema_based": {
+        "datasets": ("D1", "D2", "D3", "D4", "D8", "D9"),
+        "k": (1, 3, 3, 1, 6, 1),
+        "reversed": (True, False, True, False, True, True),
+        "attribute": ("Name", "Name", "Title", "Title", "Title", "Title"),
+        "similarity": ("COSINE",) * 6,
+        "tokenizer": ("CHARACTER_FIVEGRAMS", "CHARACTER_BIGRAMS", "CHARACTER_TRIGRAMS",
+                      "CHARACTER_TRIGRAMS", "CHARACTER_BIGRAMS", "CHARACTER_BIGRAMS_MULTISET"),
+    },
+}
+
+
+@dataclass(frozen=True)
+class ReferenceBlockingConfig:
+    """Decoded engine parameters for one (method, level, dataset) cell."""
+
+    dataset: str
+    level: str
+    method: str
+    block_purging: bool
+    bf_ratio: float | None          # None = BlockFiltering skipped
+    weight_scheme: str              # engine weighting-scheme name
+    mb_algorithm: str               # reference ComparisonCleaningMethod name
+    qgram: int | None = None        # q for (extended) q-grams methods
+    min_suffix_length: int | None = None
+    max_suffix_frequency: int | None = None
+    combination_threshold: float | None = None  # extended q-grams
+
+
+def from_reference(method: str, level: str, dataset: str) -> ReferenceBlockingConfig:
+    """Decode the tuned operating point of (method, level, dataset).
+
+    ``method``: token_blocking | qgrams_blocking | suffix_arrays_blocking |
+    extended_qgrams_blocking | extended_suffix_arrays_blocking;
+    ``level``: L1 | L2 | L3 (the paper's three recall targets);
+    ``dataset``: D1..D10.
+    """
+    grids = BLOCKING_TUNED[(method, level)]
+    d = DATASETS.index(dataset)
+    kwargs: dict = {}
+    if method in ("qgrams_blocking",):
+        kwargs["qgram"] = qgrams_q_from_grid(grids["bb"][d])
+    elif method == "extended_qgrams_blocking":
+        q, t = extended_qgrams_conf_from_grid(grids["bb"][d])
+        kwargs["qgram"], kwargs["combination_threshold"] = q, t
+    elif method in ("suffix_arrays_blocking", "extended_suffix_arrays_blocking"):
+        mf, ml = suffix_conf_from_grid(grids["bb"][d])
+        kwargs["max_suffix_frequency"], kwargs["min_suffix_length"] = mf, ml
+    bf = grids.get("bf")
+    bf_ratio = None
+    if bf is not None and bf[d] > 0:
+        bf_ratio = bf_ratio_from_grid(bf[d])
+    bp = grids.get("bp")
+    return ReferenceBlockingConfig(
+        dataset=dataset,
+        level=level,
+        method=method,
+        block_purging=bool(bp and bp[d] > 0),
+        bf_ratio=bf_ratio,
+        weight_scheme=weight_scheme_from_grid(grids["ws"][d]),
+        mb_algorithm=grids["mb"][d],
+        **kwargs,
+    )
+
+
+def prune(weighted, cfg: ReferenceBlockingConfig, blocks=None):
+    """Apply the config's comparison-cleaning algorithm to a weighted pair
+    table (operators/metablocking.py implementations)."""
+    from .operators import metablocking as MB
+
+    alg = cfg.mb_algorithm
+    if alg == _WEP:
+        return MB.wep(weighted)
+    if alg == _WNP:
+        return MB.wnp(weighted)
+    if alg == _RWNP:
+        return MB.wnp(weighted, reciprocal=True)
+    if alg == _CEP:
+        return MB.cep(weighted, blocks=blocks)
+    if alg == _CNP:
+        return MB.cnp(weighted, blocks=blocks)
+    if alg == _RCNP:
+        return MB.cnp(weighted, blocks=blocks, reciprocal=True)
+    if alg == _BLAST:
+        return MB.blast_prune(weighted)
+    raise ValueError(f"unknown comparison-cleaning algorithm {alg!r}")

@@ -17,14 +17,35 @@ table (block_key, side, doc_id):
 * pruning = scalar / per-node thresholds via broadcastable aggregates and
   windows.
 
-Weighting schemes::
+Weighting schemes (the FULL 15-scheme grid of the reference's bundled
+JedAI 3.01, ``blockingWorkflowsL1L2L3/lib/jedai-core-3.01-SNAPSHOT.jar``,
+whose ``WeightingScheme`` enum the tuned ``wScheme`` grid ids index —
+semantics read from ``AbstractMetablocking.getWeight/getNormWeight/
+setStatistics/processNormEntity`` bytecode)::
 
     CBS     = |B_i ∩ B_j|                                (common blocks)
+    COSINE  = CBS / sqrt(|B_i| * |B_j|)
+    DICE    = 2*CBS / (|B_i| + |B_j|)
     ECBS    = CBS * log10(|B|/|B_i|) * log10(|B|/|B_j|)
     JS      = CBS / (|B_i| + |B_j| - CBS)
     EJS     = JS * log10(|V|/deg_i) * log10(|V|/deg_j)   (deg = distinct candidates)
-    ARCS    = Σ_{b ∈ B_i∩B_j} 1/||b||                    (||b|| = comparisons in b)
     X2      = Pearson chi-square of the 2x2 block-co-occurrence table (BLAST)
+
+    with cn_ij = Σ_{b ∈ B_i∩B_j} 1/||b||  (||b|| = comparisons in b) and
+    cn_i = Σ_{b ∈ B_i} 1/||b||  (per-entity CARDINALITY norm sums):
+    CARDINALITY_NORM_CBS (= ARCS) = cn_ij
+    CARDINALITY_NORM_COSINE       = cn_ij / sqrt(cn_i * cn_j)
+    CARDINALITY_NORM_DICE         = 2*cn_ij / (cn_i + cn_j)
+    CARDINALITY_NORM_JS           = cn_ij / (cn_i + cn_j - cn_ij)
+
+    with sn_ij / sn_i the same sums over 1/|b| (block ASSIGNMENTS):
+    SIZE_NORM_CBS                 = sn_ij
+    SIZE_NORM_COSINE              = sn_ij / sqrt(sn_i * sn_j)
+    SIZE_NORM_DICE                = 2*sn_ij / (sn_i + sn_j)
+    SIZE_NORM_JS                  = sn_ij / (sn_i + sn_j - sn_ij)
+
+``ARCS`` and ``X2`` are accepted aliases for CARDINALITY_NORM_CBS and
+PEARSON_X2 (the names the 6-scheme jedai-core 3.2.1 enum uses).
 """
 
 from __future__ import annotations
@@ -34,31 +55,58 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-WEIGHT_SCHEMES = ("CBS", "ECBS", "JS", "EJS", "ARCS", "X2")
+WEIGHT_SCHEMES = (
+    "CBS",
+    "COSINE",
+    "DICE",
+    "ECBS",
+    "JS",
+    "EJS",
+    "PEARSON_X2",
+    "CARDINALITY_NORM_CBS",
+    "CARDINALITY_NORM_COSINE",
+    "CARDINALITY_NORM_DICE",
+    "CARDINALITY_NORM_JS",
+    "SIZE_NORM_CBS",
+    "SIZE_NORM_COSINE",
+    "SIZE_NORM_DICE",
+    "SIZE_NORM_JS",
+)
+_SCHEME_ALIASES = {"ARCS": "CARDINALITY_NORM_CBS", "X2": "PEARSON_X2"}
 
 
-def _pair_base(blocks: DataFrame, clean_clean: bool) -> DataFrame:
-    """Co-occurring pairs with CBS + ARCS raw ingredients.
-
-    Emits one row per (pair, shared block) then aggregates — the same
-    explode-join-aggregate shape as the token join (SURVEY.md §2.7).
-    """
+def _block_stats(blocks: DataFrame, clean_clean: bool) -> DataFrame:
+    """Per-block cardinality (comparisons) and assignments (size)."""
     if clean_clean:
         sizes = blocks.groupBy("block_key").agg(
             F.sum(F.when(F.col("side") == "A", 1).otherwise(0)).alias("n_a"),
             F.sum(F.when(F.col("side") == "B", 1).otherwise(0)).alias("n_b"),
         )
-        sizes = sizes.select(
-            "block_key", (F.col("n_a") * F.col("n_b")).cast("double").alias("cardinality")
+        return sizes.select(
+            "block_key",
+            (F.col("n_a") * F.col("n_b")).cast("double").alias("cardinality"),
+            (F.col("n_a") + F.col("n_b")).cast("double").alias("assignments"),
         )
+    sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
+    return sizes.select(
+        "block_key",
+        (F.col("n") * (F.col("n") - 1) / 2.0).alias("cardinality"),
+        F.col("n").cast("double").alias("assignments"),
+    )
+
+
+def _pair_base(blocks: DataFrame, clean_clean: bool) -> DataFrame:
+    """Co-occurring pairs with CBS + per-block-normalized ingredients.
+
+    Emits one row per (pair, shared block) then aggregates — the same
+    explode-join-aggregate shape as the token join (SURVEY.md §2.7).
+    """
+    sizes = _block_stats(blocks, clean_clean)
+    if clean_clean:
         left = blocks.where(F.col("side") == "A").select("block_key", F.col("doc_id").alias("left_id"))
         right = blocks.where(F.col("side") == "B").select("block_key", F.col("doc_id").alias("right_id"))
         co = left.join(right, "block_key")
     else:
-        sizes = blocks.groupBy("block_key").agg(F.count("*").alias("n"))
-        sizes = sizes.select(
-            "block_key", (F.col("n") * (F.col("n") - 1) / 2.0).alias("cardinality")
-        )
         l = blocks.select("block_key", F.col("doc_id").alias("left_id"))
         r = blocks.select("block_key", F.col("doc_id").alias("right_id"))
         co = l.join(r, "block_key").where(F.col("left_id") < F.col("right_id"))
@@ -66,11 +114,26 @@ def _pair_base(blocks: DataFrame, clean_clean: bool) -> DataFrame:
     return co.groupBy("left_id", "right_id").agg(
         F.count("*").alias("cbs"),
         F.sum(F.lit(1.0) / F.col("cardinality")).alias("arcs"),
+        F.sum(F.lit(1.0) / F.col("assignments")).alias("sn"),
     )
 
 
 def _entity_block_counts(blocks: DataFrame) -> DataFrame:
     return blocks.groupBy("side", "doc_id").agg(F.countDistinct("block_key").alias("n_blocks"))
+
+
+def _entity_norm_sums(blocks: DataFrame, clean_clean: bool) -> DataFrame:
+    """Per-entity Σ 1/cardinality and Σ 1/assignments over the entity's
+    blocks (JedAI ``setStatistics`` weightPerEntity, one row per entity)."""
+    stats = _block_stats(blocks, clean_clean)
+    return (
+        blocks.join(stats, "block_key")
+        .groupBy("side", "doc_id")
+        .agg(
+            F.sum(F.lit(1.0) / F.col("cardinality")).alias("cn_e"),
+            F.sum(F.lit(1.0) / F.col("assignments")).alias("sn_e"),
+        )
+    )
 
 
 def weighted_pairs(
@@ -82,6 +145,7 @@ def weighted_pairs(
     via broadcastable joins (one row per entity / per block).
     """
     scheme = scheme.upper()
+    scheme = _SCHEME_ALIASES.get(scheme, scheme)
     if scheme not in WEIGHT_SCHEMES:
         raise ValueError(f"unknown weighting scheme {scheme!r}")
     pairs = _pair_base(blocks, clean_clean)
@@ -100,15 +164,56 @@ def weighted_pairs(
     # no forced broadcast: these tables are one row per ENTITY (10^9 rows at
     # corpus scale) — AQE broadcasts them when they are actually small
     pairs = pairs.join(left_counts, "left_id").join(right_counts, "right_id")
+    if scheme in (
+        "CARDINALITY_NORM_COSINE",
+        "CARDINALITY_NORM_DICE",
+        "CARDINALITY_NORM_JS",
+        "SIZE_NORM_COSINE",
+        "SIZE_NORM_DICE",
+        "SIZE_NORM_JS",
+    ):
+        norms = _entity_norm_sums(blocks, clean_clean)
+        if clean_clean:
+            nl = norms.where(F.col("side") == "A")
+            nr = norms.where(F.col("side") == "B")
+        else:
+            nl = nr = norms
+        pairs = pairs.join(
+            nl.select(F.col("doc_id").alias("left_id"), F.col("cn_e").alias("cn_i"), F.col("sn_e").alias("sn_i")),
+            "left_id",
+        ).join(
+            nr.select(F.col("doc_id").alias("right_id"), F.col("cn_e").alias("cn_j"), F.col("sn_e").alias("sn_j")),
+            "right_id",
+        )
 
     B = float(n_blocks_total)
     cbs = F.col("cbs").cast("double")
     if scheme == "CBS":
         w = cbs
+    elif scheme == "COSINE":
+        w = cbs / F.sqrt(F.col("bi") * F.col("bj"))
+    elif scheme == "DICE":
+        w = 2.0 * cbs / (F.col("bi") + F.col("bj"))
     elif scheme == "ECBS":
         w = cbs * F.log10(F.lit(B) / F.col("bi")) * F.log10(F.lit(B) / F.col("bj"))
     elif scheme == "JS":
         w = cbs / (F.col("bi") + F.col("bj") - cbs)
+    elif scheme == "CARDINALITY_NORM_CBS":
+        w = F.col("arcs")
+    elif scheme == "CARDINALITY_NORM_COSINE":
+        w = F.col("arcs") / F.sqrt(F.col("cn_i") * F.col("cn_j"))
+    elif scheme == "CARDINALITY_NORM_DICE":
+        w = 2.0 * F.col("arcs") / (F.col("cn_i") + F.col("cn_j"))
+    elif scheme == "CARDINALITY_NORM_JS":
+        w = F.col("arcs") / (F.col("cn_i") + F.col("cn_j") - F.col("arcs"))
+    elif scheme == "SIZE_NORM_CBS":
+        w = F.col("sn")
+    elif scheme == "SIZE_NORM_COSINE":
+        w = F.col("sn") / F.sqrt(F.col("sn_i") * F.col("sn_j"))
+    elif scheme == "SIZE_NORM_DICE":
+        w = 2.0 * F.col("sn") / (F.col("sn_i") + F.col("sn_j"))
+    elif scheme == "SIZE_NORM_JS":
+        w = F.col("sn") / (F.col("sn_i") + F.col("sn_j") - F.col("sn"))
     elif scheme == "EJS":
         # degree = number of distinct candidates of the NODE across both
         # roles (published EJS definition). In Dirty ER the canonical
@@ -139,9 +244,7 @@ def weighted_pairs(
             * F.log10(F.col("_v") / F.col("deg_i"))
             * F.log10(F.col("_v") / F.col("deg_j"))
         )
-    elif scheme == "ARCS":
-        w = F.col("arcs")
-    else:  # X2 (Pearson chi-square, BLAST weights)
+    else:  # PEARSON_X2 (chi-square of the co-occurrence table, BLAST weights)
         o11 = cbs
         o12 = F.col("bi") - cbs
         o21 = F.col("bj") - cbs

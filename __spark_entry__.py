@@ -749,7 +749,9 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = documents_to_docs(_documents(spark, sf_dir))
     media = MM.synthesize_media_table(MM.media_refs_from_docs(docs))
-    feats = MM.extract_features(media, dim=16)
+    # pinned to the fake backend: the oracle replays its md5 features (the
+    # 'auto' PIL probe would silently switch semantics if PIL ever appears)
+    feats = MM.extract_features(media, decode_backend="fake", dim=16)
     return feats.select(
         "media_ref", "media_type", F.posexplode("feature").alias("pos", "value")
     )

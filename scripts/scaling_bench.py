@@ -35,8 +35,6 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-N_EXEC_LO = 1
-N_EXEC_HI = 4
 EXEC_CORES = 2
 
 
@@ -110,11 +108,11 @@ def main() -> None:
     ratio = max(best) / min(best)
     eff = (thr_hi / thr_lo) / ratio
     speedup = lo["total_sec"] / hi["total_sec"]
-    lo_name = f"{min(best)} executor x {EXEC_CORES} cores"
-    hi_name = f"{max(best)} executors x {EXEC_CORES} cores"
+    rn = f"{ratio:.0f}N"
 
     lines = [
-        "# BENCH baseline — scaling evidence (N = 1 executor vs 4N = 4 executors)",
+        f"# BENCH baseline — scaling evidence (N = {min(best)} executor vs "
+        f"{rn} = {max(best)} executors)",
         "",
         "Job: full ER pipeline (token blocking -> comparison-based block purging ->",
         "block filtering 0.5 -> candidate pairs -> exact Jaccard scoring >= 0.5 ->",
@@ -126,7 +124,7 @@ def main() -> None:
         f"All levels run the identical code on the identical input under Spark's",
         f"`local-cluster` master — **real separate executor JVMs** with real",
         f"inter-process shuffle: `local-cluster[{min(best)},{EXEC_CORES},6144]` (N) vs",
-        f"`local-cluster[{max(best)},{EXEC_CORES},6144]` (4N); one fresh driver per",
+        f"`local-cluster[{max(best)},{EXEC_CORES},6144]` ({rn}); one fresh driver per",
         "level; `spark.sql.shuffle.partitions` = total core count; AQE + skew-join on.",
         "",
         "## Why executor processes, not `local[8]` vs `local[32]` threads",
@@ -153,7 +151,7 @@ def main() -> None:
         "",
         "| stage | "
         + " | ".join(f"{n} executor{'s' if n > 1 else ''} (s)" for n in sorted(best))
-        + " | N->4N speedup |",
+        + f" | N->{rn} speedup |",
         "|---|" + "---|" * (len(best) + 1),
     ]
     for s in lo["stages"]:
@@ -188,7 +186,7 @@ def main() -> None:
         "on a real cluster each executor ships shuffle blocks over its own",
         "NIC/disk, so per-node resources grow with N. Every shuffle-bearing",
         "stage (blocking / candidate pairs / scoring) individually speeds up",
-        "at 4N, and the same plan shape (explode -> hash join -> partial agg,",
+        f"at {rn}, and the same plan shape (explode -> hash join -> partial agg,",
         "broadcast for sub-cap dimension tables, AQE skew splitting) is what",
         "scales on real clusters.",
         "",
@@ -209,8 +207,8 @@ def main() -> None:
                 "value": round(eff, 3),
                 "unit": "ratio",
                 "throughput_pairs_per_sec": {
-                    f"N={N_EXEC_LO}x{EXEC_CORES}": thr_lo,
-                    f"4N={N_EXEC_HI}x{EXEC_CORES}": thr_hi,
+                    f"N={min(best)}x{EXEC_CORES}": thr_lo,
+                    f"{rn}={max(best)}x{EXEC_CORES}": thr_hi,
                 },
                 "suite_speedup": round(speedup, 3),
                 "n_docs": hi["n_docs"],

@@ -121,10 +121,77 @@ def test_multimodal_plumbing(spark, cc_corpus):
         assert f1[k] == f2[k]
 
 
-def test_multimodal_real_backend_raises(spark, cc_corpus):
+def test_multimodal_real_backend_raises_without_pil(spark, cc_corpus, monkeypatch):
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: None)
     media = mm.synthesize_media_table(mm.media_refs_from_docs(cc_corpus.docs))
-    with pytest.raises(Exception):
-        mm.extract_features(media, decode_backend="real").collect()
+    with pytest.raises(ModuleNotFoundError):
+        mm.extract_features(media, decode_backend="real")
+
+
+def test_multimodal_auto_falls_back_to_fake(spark, cc_corpus, monkeypatch):
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: None)
+    media = mm.synthesize_media_table(mm.media_refs_from_docs(cc_corpus.docs))
+    with pytest.warns(RuntimeWarning, match="falling back"):
+        feats = mm.extract_features(media, decode_backend="auto")
+    fake = mm.extract_features(media, decode_backend="fake")
+    got = {r.media_ref: r.feature for r in feats.limit(3).collect()}
+    want = {r.media_ref: r.feature for r in fake.limit(3).collect()}
+    assert got == want
+
+
+def _make_pil_stub():
+    """Minimal PIL.Image stand-in: open() -> an object whose convert/resize
+    chain produces a deterministic 8x8 'pixel' array. Defined INSIDE a
+    function so cloudpickle serializes it by value — python workers can't
+    import the test module."""
+
+    class _Img:
+        def __init__(self, payload: bytes):
+            self._p = payload
+
+        def convert(self, mode):
+            return self
+
+        def resize(self, wh):
+            return self
+
+        format = "PNG"
+
+        def __array__(self, dtype=None, copy=None):
+            import numpy as np
+
+            seed = (sum(self._p) if self._p else 0) % 251
+            arr = (np.arange(64, dtype=np.float64).reshape(8, 8) + seed) % 256
+            return arr.astype(dtype or np.float64)
+
+    class _StubPILImage:
+        @staticmethod
+        def open(buf):
+            return _Img(buf.getvalue())
+
+    return _StubPILImage
+
+
+def test_multimodal_real_branch_with_pil_stub(spark, cc_corpus, monkeypatch):
+    """The 'real' branch end-to-end through mapInPandas, with a PIL stub
+    injected: decode -> grayscale 8x8 -> normalized pixels, padded to dim.
+    The stub module is captured driver-side at plan construction and rides
+    the task closure to the python workers."""
+    stub = _make_pil_stub()
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: stub)
+    media = mm.synthesize_media_table(mm.media_refs_from_docs(cc_corpus.docs))
+    rows = mm.extract_features(media, decode_backend="real").limit(3).collect()
+    assert rows and all(len(r.feature) == mm.FEATURE_DIM for r in rows)
+    for r in rows:
+        # first 64 entries are pixels/255 in [0,1], the rest zero padding
+        assert all(0.0 <= v <= 1.0 for v in r.feature[:64])
+        assert all(v == 0.0 for v in r.feature[64:])
+    # auto now picks the real branch (no warning) and matches it exactly
+    auto = {
+        r.media_ref: r.feature
+        for r in mm.extract_features(media, decode_backend="auto").limit(3).collect()
+    }
+    assert auto == {r.media_ref: r.feature for r in rows}
 
 
 def test_frame_sampling(spark):

@@ -236,6 +236,24 @@ def q_range_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3 multiprobe: the FALCONN probe-count axis (``set_num_probes``,
+    ``nnmethods/falconn/hyperplaneLSH/D4.py:118-150``) — HALF the tables of
+    q_range_search_lsh (8 vs 16) with 3 extra least-confident-bit probes per
+    table, trading compute for recall without growing the indexed table.
+    The oracle replays the identical probe sequence (round(|dot|,9) ranking)
+    in SQL, certifying the multiprobe path exactly."""
+    from continuousfilteringbenchmark_spark.operators.dense import range_search
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return range_search(
+        vecs, None, threshold=0.35, id_col="vec_id",
+        method="lsh", lsh_tables=8, lsh_bits=6, lsh_probes=3,
+    )
+
+
 def q_qgrams_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from continuousfilteringbenchmark_spark.operators import blocking as B
 
@@ -826,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_based_ejoin": q_schema_based_ejoin,
         "incremental_blocking": q_incremental_blocking,
         "range_search_lsh": q_range_search_lsh,
+        "range_search_multiprobe": q_range_search_multiprobe,
         "jedai_workflow": q_jedai_workflow,
         "topk_join_fivegram": q_topk_join_fivegram,
         "schema_based_topk": q_schema_based_topk,
@@ -1157,11 +1176,20 @@ mh_scored AS (
 
 
 def _hyperplane_sql(
-    n_tables: int, n_bits: int, seed: int = 5721840, dim: int = 64, center: bool = True
+    n_tables: int,
+    n_bits: int,
+    seed: int = 5721840,
+    dim: int = 64,
+    center: bool = True,
+    n_probes: int = 0,
 ) -> str:
     """CTE chain mirroring ``hyperplane_bands`` + ``lsh_candidates`` over the
     normalized embeddings (requires the ``nv``/``v`` CTEs from _NVEC).
-    Exposes ``hp_cand(left_id, right_id)``."""
+    Exposes ``hp_cand(left_id, right_id)``. With ``n_probes`` > 0 it also
+    replays the multiprobe sequence (flip the n least-confident bits, ranked
+    by round(|dot|, 9) with bit-index tie-break — the identical ranking the
+    numpy side computes) and joins probe buckets against base buckets with
+    canonical least/greatest pair ordering."""
     if center:
         mean_cte = (
             f"hp_m AS (SELECT d.d, avg(v.e[d.d + 1]) AS m "
@@ -1197,11 +1225,30 @@ hp_bkt AS (
          CAST(sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << b
                        ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
   FROM hp_dot GROUP BY vec_id, t
+),{'' if n_probes <= 0 else f'''
+hp_rank AS (
+  SELECT vec_id, t, b,
+         row_number() OVER (PARTITION BY vec_id, t
+                            ORDER BY round(abs(dot), 9) ASC, b ASC) AS rk
+  FROM hp_dot
 ),
+hp_probe AS (
+  SELECT k.vec_id, k.band,
+         xor(k.bucket, CAST(1 AS BIGINT) << r.b) AS bucket
+  FROM hp_bkt k
+  JOIN hp_rank r ON r.vec_id = k.vec_id AND r.t = k.band
+  WHERE r.rk <= {min(n_probes, n_bits)}
+  UNION ALL
+  SELECT vec_id, band, bucket FROM hp_bkt
+),'''}
 hp_cand AS (
-  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+{f'''  SELECT DISTINCT least(p.vec_id, k.vec_id) AS left_id,
+                  greatest(p.vec_id, k.vec_id) AS right_id
+  FROM hp_probe p
+  JOIN hp_bkt k ON k.band = p.band AND k.bucket = p.bucket
+                AND k.vec_id <> p.vec_id''' if n_probes > 0 else '''  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
   FROM hp_bkt a
-  JOIN hp_bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN hp_bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id'''}
 )"""
 
 
@@ -2092,6 +2139,17 @@ def oracle_sql() -> dict[str, str]:
         "crosspolytope_lsh": f"""
             WITH {_NVEC}, {_crosspolytope_sql(n_tables=8, n_rotations=2, proj_dim=16)}
             SELECT left_id, right_id FROM cp_cand
+        """,
+        "range_search_multiprobe": f"""
+            WITH {_NVEC}, {_hyperplane_sql(n_tables=8, n_bits=6, n_probes=3)}
+            SELECT c.left_id, c.right_id,
+                   list_sum(list_transform(generate_series(1, len(a.u)),
+                                           i -> a.u[i] * b.u[i])) AS score
+            FROM hp_cand c
+            JOIN nv a ON a.vec_id = c.left_id
+            JOIN nv b ON b.vec_id = c.right_id
+            WHERE list_sum(list_transform(generate_series(1, len(a.u)),
+                                          i -> a.u[i] * b.u[i])) >= 0.35
         """,
         "range_search_lsh": f"""
             WITH {_NVEC}, {_hyperplane_sql(n_tables=16, n_bits=4)}

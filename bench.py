@@ -17,6 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# cap the bench JVM heap: at sf0.1 every query fits comfortably, and a
+# 48g ceiling just means GC never runs hard and peak RSS balloons to the
+# heap size; 16g keeps the measured footprint honest (overridable)
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+
 import __spark_entry__ as entrymod
 
 # headline set: one per operator family, ordered cheap -> expensive.
@@ -70,9 +75,14 @@ def main() -> None:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    for name in names:
-        samples = []
-        for it in range(iters):
+    # iterations are INTERLEAVED across queries (run the whole list, then
+    # repeat): this shared host has multi-minute CPU-steal windows, and
+    # back-to-back iterations of one query would hand that whole window to
+    # a single query's median; round-robin spreads it across the suite
+    # (same discipline as scripts/scaling_bench.py run_levels)
+    all_samples: dict[str, list[float]] = {n: [] for n in names}
+    for it in range(iters):
+        for name in names:
             obs = Observation(f"rows_{name}_{it}")
             t0 = time.perf_counter()
             # construction is INSIDE the timer: iterative operators (connected
@@ -82,15 +92,16 @@ def main() -> None:
             # Catalyst prune unused projections and under-report); the row
             # count rides along as an observation so nothing executes twice
             df.write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
+            all_samples[name].append(time.perf_counter() - t0)
             rows[name] = int(obs.get["n"])
-            # each iteration re-constructs its DataFrames, so caches persisted
-            # inside one iteration are garbage to the next: drop them (cached
-            # DFs + localCheckpoint blocks) so iterations are independent —
+            # each run re-constructs its DataFrames, so caches persisted
+            # inside one run are garbage to the next: drop them (cached
+            # DFs + localCheckpoint blocks) so runs are independent —
             # round-2 regression: leaked caches accumulated to 48 GB JVM RSS
             # and the later iterations measured memory pressure, not plans
             clear_session_caches(spark)
-        samples.sort()
+    for name in names:
+        samples = sorted(all_samples[name])
         timings[name] = round(samples[len(samples) // 2], 3)
         body = samples[1:-1] if len(samples) > 2 else samples
         trimmed[name] = round(sum(body) / len(body), 3)

@@ -117,14 +117,25 @@ def knn_ivf(
     # bounded, deterministic training set: sample() needs a fraction (a
     # count()-free estimate would be another job), so take the first
     # ``budget`` rows ordered by a seeded hash — one small job, and the
-    # same rows regardless of partitioning
+    # same rows regardless of partitioning. Persisted across the k-means
+    # iterations (each fit iteration re-scans its input; without the cache
+    # every iteration would re-run the read+sort chain) and dropped after.
     train = (
         corpus.select(_norm(vec_col).alias("_v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_s"))
         .orderBy("_s")
         .limit(budget)
         .select(array_to_vector(F.col("_v")).alias("features"))
+        .persist()
     )
-    km = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    # random init (not k-means||): the parallel init alone costs ~5 extra
+    # passes, and a coarse IVF quantizer only needs centroids that roughly
+    # partition the space — FAISS trains its IVF the same way (sampled,
+    # few iterations); 10 Lloyd iterations on the cached sample converge
+    # far past routing quality
+    try:
+        km = KMeans(k=n_cells, seed=seed, maxIter=10, initMode="random").fit(train)
+    finally:
+        train.unpersist()
     centers = [
         (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in km.clusterCenters()
     ]
@@ -155,6 +166,7 @@ def range_search(
     lsh_tables: int = 16,
     lsh_bits: int = 4,
     lsh_seed: int = 5721840,
+    lsh_probes: int = 0,
 ) -> DataFrame:
     """All pairs with cosine >= threshold (FAISS range_search parity,
     ``nnmethods/faiss/D4sa.py:123-141``; ``corpus=None`` -> self-join dedup
@@ -163,9 +175,13 @@ def range_search(
     ``method='lsh'`` (default — the only shape that survives 100x scale):
     hyperplane-LSH candidate generation (operators/lsh.py N3) followed by an
     exact cosine verify of the candidates; sub-quadratic, recall tunable via
-    ``lsh_tables``/``lsh_bits`` (unit-tested; the N8 recall tuner finds the
-    config for a PC target). ``method='exact'`` is the brute-force cross
-    join — the correctness baseline, quadratic, test-scale only.
+    ``lsh_tables``/``lsh_bits`` AND ``lsh_probes`` — the FALCONN multiprobe
+    axis (``set_num_probes``, ``hyperplaneLSH/D4.py:118-150``): each side's
+    query buckets additionally probe the ``lsh_probes`` least-confident
+    bit-flips per table, trading compute for recall WITHOUT growing the
+    indexed table (probes join against base buckets only). ``method='exact'``
+    is the brute-force cross join — the correctness baseline, quadratic,
+    test-scale only.
     """
     if method not in ("exact", "lsh"):
         raise ValueError("method must be 'exact' or 'lsh'")
@@ -193,11 +209,29 @@ def range_search(
                 queries, lsh_tables, lsh_bits, seed=lsh_seed,
                 vec_col=vec_col, id_col=id_col, center=True,
             )
-            cand = lsh_candidates(bands)
+            if lsh_probes > 0:
+                probe = hyperplane_bands(
+                    queries, lsh_tables, lsh_bits, seed=lsh_seed,
+                    vec_col=vec_col, id_col=id_col, center=True,
+                    n_probes=lsh_probes,
+                )
+                # probe buckets join against BASE buckets (FALCONN probes a
+                # static index); a pair is found when either endpoint's probe
+                # sequence reaches the other's base bucket -> canonicalize
+                raw = probe.select("band", "bucket", F.col("doc_id").alias("a")).join(
+                    bands.select("band", "bucket", F.col("doc_id").alias("b")), ["band", "bucket"]
+                ).where(F.col("a") != F.col("b"))
+                cand = raw.select(
+                    F.least("a", "b").alias("left_id"),
+                    F.greatest("a", "b").alias("right_id"),
+                ).distinct()
+            else:
+                cand = lsh_candidates(bands)
         else:
             qb = hyperplane_bands(
                 queries, lsh_tables, lsh_bits, seed=lsh_seed,
                 vec_col=vec_col, id_col=id_col, center=False,
+                n_probes=lsh_probes,
             )
             cb = hyperplane_bands(
                 corpus, lsh_tables, lsh_bits, seed=lsh_seed,

@@ -198,16 +198,26 @@ def hyperplane_bands(
     vec_col: str = "vec",
     id_col: str = "doc_id",
     center: bool = True,
+    n_probes: int = 0,
 ) -> DataFrame:
     """N3 random-hyperplane signatures: per table, n_bits of sign(V . R).
 
     Mirrors FALCONN hyperplane hashing (``nnmethods/falconn/hyperplaneLSH/
-    D4.py:29-51,77-106``: normalize -> mean-center -> hash). Multiprobe is
-    replaced by more tables (same output-quality contract, SURVEY.md N3).
-    Planes are md5-derived (``hash_uniforms``) so the DuckDB oracle replays
-    them exactly.
+    D4.py:29-51,77-106``: normalize -> mean-center -> hash). Planes are
+    md5-derived (``hash_uniforms``) so the DuckDB oracle replays them
+    exactly.
 
-    Output: (doc_id, band int, bucket long).
+    ``n_probes`` is the FALCONN multiprobe axis (``set_num_probes`` /
+    ``get_unique_candidates``, ``hyperplaneLSH/D4.py:118-150``): per table,
+    emit ``n_probes`` EXTRA buckets obtained by flipping the least-confident
+    bits — the j-th probe flips the bit with the j-th smallest |projection|
+    (the standard multiprobe sequence truncated to single-bit flips). Probe
+    ranks use |projection| rounded to 9 decimals with the bit index as
+    tie-break, so the SQL oracle's ranking agrees bit-for-bit. FALCONN's
+    ``num_probes`` counts total probes across tables; here the knob is
+    per-table extra probes (total = n_tables * (1 + n_probes)).
+
+    Output: (doc_id, band int, bucket long) — one row per (table, probe).
     """
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
@@ -219,10 +229,17 @@ def hyperplane_bands(
         ).collect()[0]["m"]
         mean_vec = np.array(mean_row, dtype=np.float64)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
+    out_type = T.ArrayType(
+        T.StructType(
+            [T.StructField("band", T.IntegerType()), T.StructField("bucket", T.LongType())]
+        )
+    )
+
+    @F.pandas_udf(out_type)
     def buckets(vec: pd.Series) -> pd.Series:
         out = []
         weights = 1 << np.arange(n_bits, dtype=np.int64)
+        tables = range(n_tables)
         for v in vec:
             x = np.asarray(v, dtype=np.float64)
             n = np.linalg.norm(x)
@@ -230,13 +247,23 @@ def hyperplane_bands(
                 x = x / n
             if mean_vec is not None:
                 x = x - mean_vec
-            bits = (np.einsum("tbd,d->tb", planes, x) > 0).astype(np.int64)
-            out.append((bits * weights).sum(axis=1).tolist())
+            proj = np.einsum("tbd,d->tb", planes, x)
+            bits = (proj > 0).astype(np.int64)
+            base = (bits * weights).sum(axis=1)
+            rows = [(t, int(base[t])) for t in tables]
+            if n_probes:
+                # stable argsort on the rounded magnitudes = rank by
+                # (round(|proj|, 9) asc, bit asc) — the oracle's ORDER BY
+                order = np.argsort(np.round(np.abs(proj), 9), axis=1, kind="stable")
+                for j in range(min(n_probes, n_bits)):
+                    pb = base ^ (np.int64(1) << order[:, j])
+                    rows += [(t, int(pb[t])) for t in tables]
+            out.append(rows)
         return pd.Series(out)
 
-    return vecs.select(F.col(id_col).alias("doc_id"), buckets(F.col(vec_col)).alias("_b")).select(
-        "doc_id", F.posexplode("_b").alias("band", "bucket")
-    )
+    return vecs.select(
+        F.col(id_col).alias("doc_id"), F.explode(buckets(F.col(vec_col))).alias("_bb")
+    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
 
 
 def crosspolytope_bands(

@@ -68,6 +68,43 @@ def test_hyperplane_lsh_buckets_near_vectors_together(spark):
     assert recall >= 0.9, f"recall={recall}"
 
 
+def test_hyperplane_multiprobe_increases_candidates(spark):
+    """FALCONN multiprobe axis: probe buckets are supersets — candidates
+    (and so recall) grow monotonically with n_probes at fixed tables/bits."""
+    vecs, gold = vector_corpus(spark, n_entities=60, dim=16, seed=3)
+    g = {(r.left_id, r.right_id) for r in gold.collect()}
+
+    def recall_and_count(probes):
+        base = lsh.hyperplane_bands(vecs, n_tables=4, n_bits=8, dim=16)
+        probe = lsh.hyperplane_bands(vecs, n_tables=4, n_bits=8, dim=16, n_probes=probes)
+        from pyspark.sql import functions as F
+
+        raw = probe.select("band", "bucket", F.col("doc_id").alias("a")).join(
+            base.select("band", "bucket", F.col("doc_id").alias("b")), ["band", "bucket"]
+        ).where(F.col("a") != F.col("b"))
+        cand = {
+            (min(r.a, r.b), max(r.a, r.b)) for r in raw.select("a", "b").distinct().collect()
+        }
+        return len(g & cand) / len(g), len(cand)
+
+    r0, c0 = recall_and_count(0)
+    r3, c3 = recall_and_count(3)
+    assert c3 >= c0
+    assert r3 >= r0
+    assert c3 > c0  # at 4 tables x 8 bits some near pairs differ by 1 bit
+
+
+def test_hyperplane_probe_zero_unchanged(spark):
+    """n_probes=0 must emit exactly the base (band, bucket) table."""
+    vecs, _ = vector_corpus(spark, n_entities=20, dim=16, seed=7)
+    a = {(r.doc_id, r.band, r.bucket) for r in
+         lsh.hyperplane_bands(vecs, n_tables=4, n_bits=6, dim=16).collect()}
+    b = {(r.doc_id, r.band, r.bucket) for r in
+         lsh.hyperplane_bands(vecs, n_tables=4, n_bits=6, dim=16, n_probes=0).collect()}
+    assert a == b
+    assert len(a) == vecs.count() * 4  # one base bucket per (doc, table)
+
+
 def test_knn_exact_matches_numpy_bruteforce(spark):
     import numpy as np
 

@@ -73,3 +73,32 @@ def pc_of_pairs(candidates, gold) -> float:
     from .eval import evaluate_pairs
 
     return evaluate_pairs(candidates, gold).pc
+
+
+def tune_range_search_probes(
+    vecs,
+    gold,
+    target_pc: float,
+    threshold: float = 0.35,
+    lsh_tables: int = 8,
+    lsh_bits: int = 8,
+    id_col: str = "doc_id",
+) -> tuple[int, float]:
+    """The reference's FALCONN probe loop (``hyperplaneLSH/D4.py:118-150``:
+    raise ``set_num_probes`` until recall suffices) over the multiprobe
+    range search: smallest ``lsh_probes`` in [0, lsh_bits] whose candidate
+    PC against ``gold`` reaches ``target_pc`` at FIXED tables/bits.
+
+    Cheaper axis than more tables: probes add query-side bucket lookups
+    only — the indexed table does not grow.
+    """
+    from .operators.dense import range_search
+
+    def evaluate(p: int) -> float:
+        cand = range_search(
+            vecs, None, threshold=threshold, id_col=id_col,
+            method="lsh", lsh_tables=lsh_tables, lsh_bits=lsh_bits, lsh_probes=p,
+        ).select("left_id", "right_id")
+        return pc_of_pairs(cand, gold)
+
+    return find_min_param(evaluate, target_pc, lo=0, hi=lsh_bits)

@@ -103,6 +103,34 @@ def test_tuner_reaches_pc_target_on_embeddings(spark):
     assert cand.join(gold, ["left_id", "right_id"], "left_anti").count() == 0
 
 
+def test_tuner_probes_axis(spark):
+    """N8 over the FALCONN multiprobe axis: smallest lsh_probes reaching the
+    PC target at fixed (tables, bits) — and monotonicity of the axis."""
+    from continuousfilteringbenchmark_spark.operators.dense import range_search
+    from continuousfilteringbenchmark_spark.tuning import tune_range_search_probes
+
+    vecs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+        .cache()
+    )
+    gold = range_search(vecs, None, threshold=0.35, id_col="vec_id", method="exact")
+    gold = gold.select("left_id", "right_id").cache()
+    assert gold.count() > 0
+
+    probes, pc = tune_range_search_probes(
+        vecs, gold, target_pc=0.8, lsh_tables=4, lsh_bits=6, id_col="vec_id"
+    )
+    assert pc >= 0.8
+    assert 0 <= probes <= 6
+    # the tuned config still never invents pairs (verify step is exact)
+    cand = range_search(
+        vecs, None, threshold=0.35, id_col="vec_id",
+        method="lsh", lsh_tables=4, lsh_bits=6, lsh_probes=probes,
+    ).select("left_id", "right_id")
+    assert cand.join(gold, ["left_id", "right_id"], "left_anti").count() == 0
+
+
 def test_salt_cap_drops_are_logged(spark, tmp_path):
     from continuousfilteringbenchmark_spark.operators import blocking as B
     from continuousfilteringbenchmark_spark.plans.stages import StageStore

@@ -39,12 +39,16 @@ def main() -> None:
         # disk behavior (a real cluster has NVMe shuffle volumes per node)
         local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
         os.makedirs(local_dir, exist_ok=True)
+        # standalone workers take shuffle dirs from SPARK_LOCAL_DIRS, not
+        # spark.local.dir (Spark warns and ignores the conf) — export it so
+        # the executors actually shuffle on tmpfs
+        os.environ["SPARK_LOCAL_DIRS"] = local_dir
         spark = get_spark(
             "scale_job",
             shuffle_partitions=cpus * 2,
             master=f"local-cluster[{n_exec},{cores_per_exec},6144]",
             extra_conf={
-                "spark.executor.memory": "5g",
+                "spark.executor.memory": "3g",
                 "spark.local.dir": local_dir,
                 # knob for shuffle-compression experiments (tmpfs shuffle
                 # dirs make compression a pure-CPU tradeoff); measured both
@@ -54,23 +58,41 @@ def main() -> None:
                 # cap each JVM's GC/JIT/netty pool sizing at its task-slot
                 # count: on a 32-vCPU host every executor would otherwise
                 # spawn ~32-wide service pools, and the aggregate thread
-                # count (not the task slots) is what exhausts the scheduler
-                # -Xms=-Xmx + AlwaysPreTouch: this VM's lazy page allocation
-                # is pathologically slow on first touch (measured: a fresh
-                # process copies ~0 GB/s for seconds, then 17 GB/s warm) —
-                # pre-faulting the heap at JVM launch moves that cost out of
-                # the timed stages, where growing executors would otherwise
-                # page-fault through every shuffle buffer
+                # count (not the task slots) is what exhausts the scheduler.
+                # Do NOT pre-touch the heap (-Xms=-Xmx -XX:+AlwaysPreTouch,
+                # an earlier iteration): this host's kernel runs DAMON-style
+                # proactive reclaim and punishes large-RSS processes
+                # continuously — measured 2026-08-18: four 5g-pretouch JVMs
+                # take 33 s to start (0.6 s alone) and then compute an 8e9-row
+                # sqrt-sum NO faster than one executor (11.9 s vs 12.3 s),
+                # while stock-heap executors register in 1 s and run the same
+                # job in 4.1 s (~3x, near the 2-core/exec ideal). Lazy heap
+                # growth costs nothing measurable on the right-sized 3g heap.
                 "spark.executor.extraJavaOptions": (
-                    f"-XX:ActiveProcessorCount={cores_per_exec + 1} "
-                    "-Xms5g -XX:+AlwaysPreTouch"
+                    f"-XX:ActiveProcessorCount={cores_per_exec + 1}"
                 ),
-                "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=2 -Xms8g -XX:+AlwaysPreTouch",
+                "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=2",
                 "spark.driver.memory": "8g",
             },
         )
     else:
         spark = get_spark("scale_job", cpus=cpus, shuffle_partitions=cpus)
+    if n_exec:
+        # Wait for EVERY executor to register before any timed work: the
+        # standalone scheduler starts jobs at minRegisteredResourcesRatio
+        # well before all executors are up, which would bill executor
+        # startup to the first timed stages of the larger level only.
+        want = int(n_exec) + 1  # executors + driver block-manager entries
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            if spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() >= want:
+                break
+            time.sleep(1)
+        else:
+            raise SystemExit(f"only {spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size() - 1}/{n_exec} executors registered after 300s")
+        # one task per core across the cluster: forces executor-side class
+        # loading + codegen JIT before the timers (same warm-up every level)
+        spark.range(0, 10_000_000, 1, cpus * 2).selectExpr("sum(id)").collect()
     docs = spark.read.parquet(path)
     n_docs = docs.count()  # warm parquet footers / JVM before the timers
 

@@ -89,3 +89,40 @@ def test_score_pairs_engines_identical(cc_corpus, monkeypatch):
     assert got == expected
     got = rows(score_pairs(pairs, tokened, "jaccard", engine="jvm", min_score=0.5))
     assert got == expected
+
+
+def test_score_pairs_construction_job_budget(cc_corpus, spark):
+    """The documented probe budget is real: constructing (not executing) a
+    score_pairs plan runs ZERO Spark jobs for engine='jvm', and at most ONE
+    bounded probe job for engine='auto' — with the probe cached, so a second
+    construction over the same token table runs zero."""
+    import continuousfilteringbenchmark_spark.plans.pipeline as P
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.plans.pipeline import (
+        docs_with_tokens,
+        score_pairs,
+    )
+
+    tokened = docs_with_tokens(cc_corpus.docs, side_from_prefix=True)
+    blocks = B.build_blocks(tokened, B.BlockingConfig(clean_clean=True))
+    pairs = B.pairs_from_blocks(blocks, clean_clean=True)
+
+    def n_jobs() -> int:
+        return spark.sparkContext._jsc.sc().dagScheduler().numTotalJobs()
+
+    before = n_jobs()
+    score_pairs(pairs, tokened, "jaccard", engine="jvm")
+    assert n_jobs() == before, "engine='jvm' construction must submit no jobs"
+
+    P._probe_cache.clear()
+    before = n_jobs()
+    score_pairs(pairs, tokened, "jaccard", engine="auto")
+    auto_jobs = n_jobs() - before
+    # one bounded stats probe (AQE may split a query into a few jobs), plus
+    # the dictionary collect iff auto picked arrow — a small constant either
+    # way, not per-pair / per-doc work
+    assert 1 <= auto_jobs <= 6, f"auto construction ran {auto_jobs} jobs"
+    before = n_jobs()
+    score_pairs(pairs, tokened, "jaccard", engine="auto")
+    again = n_jobs() - before
+    assert again < auto_jobs, "probe result must be cached across constructions"

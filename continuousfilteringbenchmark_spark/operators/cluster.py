@@ -82,7 +82,10 @@ def _unpersist_ids(sc, ids: set[int]) -> None:
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 30, rounds_per_checkpoint: int = 2
+    pairs: DataFrame,
+    max_iter: int = 30,
+    rounds_per_checkpoint: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -91,28 +94,43 @@ def connected_components(
             pair; cluster_id = min doc_id of the component.
 
     One Spark job per ``rounds_per_checkpoint`` star rounds: the eager
-    localCheckpoint both truncates lineage and carries the convergence
+    checkpoint both truncates lineage and carries the convergence
     checksum as an attached Observation (count + bit_xor of the edge
     hashes — a fixpoint is detected when two consecutive cadences agree;
     the star fixpoint is stable, so batching detects convergence at most
     ``rounds_per_checkpoint - 1`` cheap rounds late). Superseded checkpoint
     RDDs are unpersisted immediately; the returned assignment is itself a
     compact checkpoint so no edge-table storage outlives the call.
+
+    ``checkpoint_dir``: when set, each cadence cuts lineage with a RELIABLE
+    checkpoint written under this (HDFS-compatible) path instead of
+    executor-local blocks — the production mode: the loop survives executor
+    loss, at the cost of a filesystem round-trip per cadence. The
+    convergence/unpersist machinery is identical; superseded checkpoint
+    *files* are reclaimed by Spark's ContextCleaner
+    (``spark.cleaner.referenceTracking.cleanCheckpoints=true``) or by
+    deleting the directory after the returned assignment is consumed.
     """
     from pyspark.sql import Observation
 
     sc = pairs.sparkSession.sparkContext
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame, tag: str, held: set[int]) -> tuple[DataFrame, tuple, set[int]]:
         """Eager checkpoint with the checksum riding as an observation; frees
         ``held`` (the ids of the checkpoint this one supersedes)."""
         obs = Observation(tag)
         pre = _persistent_ids(sc)
-        out = df.observe(
+        observed = df.observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).localCheckpoint(eager=True)
+        )
+        if checkpoint_dir is not None:
+            out = observed.checkpoint(eager=True)
+        else:
+            out = observed.localCheckpoint(eager=True)
         own = _persistent_ids(sc) - pre
         _unpersist_ids(sc, held)
         return out, (int(obs.get["n"]), int(obs.get["h"])), own
@@ -141,7 +159,10 @@ def connected_components(
         .groupBy("doc_id")
         .agg(F.min("cluster_id").alias("cluster_id"))
     )
-    assign = assign.localCheckpoint(eager=True)
+    if checkpoint_dir is not None:
+        assign = assign.checkpoint(eager=True)
+    else:
+        assign = assign.localCheckpoint(eager=True)
     _unpersist_ids(sc, held)
     return assign
 

@@ -89,3 +89,25 @@ def test_cc_partition_invariance(spark):
     m1 = {r.doc_id: r.cluster_id for r in connected_components(df1).collect()}
     m8 = {r.doc_id: r.cluster_id for r in connected_components(df8).collect()}
     assert m1 == m8
+
+
+def test_cc_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches lineage cuts to reliable checkpoints: same
+    assignments as local mode, and checkpoint files actually land under the
+    directory (the production fault-tolerance path)."""
+    import os
+
+    pairs = [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"), ("r", "s")]
+    local = {r.doc_id: r.cluster_id
+             for r in connected_components(_pairs(spark, pairs)).collect()}
+    ckdir = str(tmp_path / "cc_ck")
+    reliable = connected_components(_pairs(spark, pairs), checkpoint_dir=ckdir)
+    got = {r.doc_id: r.cluster_id for r in reliable.collect()}
+    assert got == local == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x",
+        "p": "p", "q": "p", "r": "p", "s": "p",
+    }
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert any("rdd-" in p for p in written), written

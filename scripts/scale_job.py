@@ -137,6 +137,12 @@ def main() -> None:
     t0 = time.perf_counter()
     counts["matches"] = matches.count()
     timings["scoring"] = round(time.perf_counter() - t0, 3)
+    # pairs (potentially 1e8+ rows) is fully consumed once matches is
+    # materialized; freeing it keeps the big corpora from evicting the
+    # (small) matches cache, which would silently re-run scoring inside
+    # the clustering timer
+    pairs.unpersist()
+    filtered.unpersist()
 
     t0 = time.perf_counter()
     # construction is INSIDE the timer: the large-star/small-star loop runs

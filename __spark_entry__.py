@@ -804,6 +804,19 @@ def q_ngram_bool_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.bool_vectors(toks)
 
 
+def q_deepblocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7 DeepBlocker stand-in (reference ``nnmethods/deepblocker/d4SA.py:
+    17-27``; Dirty-ER baseline ``nnmethods/scalabilityAnalysis/DDB.py:13-57``
+    with K=5 on the aggregate value): deterministic feature-hashing tuple
+    embedding (md5-derived token vectors, sum-pooled BIGINT coordinates)
+    + ExactTopKVectorPairing — tie-inclusive top-5 cosine self-pairing.
+    The oracle replays the embedding exactly (integer sums are order
+    independent) and the same normalized-dot top-K."""
+    from continuousfilteringbenchmark_spark.operators.dense import deepblocker_topk
+
+    return deepblocker_topk(_documents(spark, sf_dir), None, k=5, dim=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -859,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_assignments": q_dedup_assignments,
         "shingle_count_vectors": q_shingle_count_vectors,
         "ngram_bool_vectors": q_ngram_bool_vectors,
+        "deepblocker_pairs": q_deepblocker_pairs,
     }
 
 
@@ -2423,5 +2437,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.doc_id, v.vocab_id
             FROM ex e JOIN vocab v USING (tok)
+        """,
+        # N7 DeepBlocker stand-in: feature-hashing tuple embedding (exact
+        # BIGINT coordinate sums over md5-derived token vectors — order
+        # independent, so the GROUP BY replays Spark's shuffle agg exactly)
+        # -> L2 normalize -> tie-inclusive top-5 cosine self-pairing (same
+        # rk/kth pattern as knn_embeddings)
+        "deepblocker_pairs": f"""
+            WITH {_TOKS},
+            te AS (
+              SELECT doc_id, d.d,
+                     sum(CAST('0x' || substring(md5('te:' || tok || ':'
+                                                    || CAST(d.d AS VARCHAR)),
+                                                1, 10) AS BIGINT)
+                         - 549755813888) AS e
+              FROM toks CROSS JOIN generate_series(0, 15) d(d)
+              GROUP BY doc_id, d.d
+            ),
+            tev AS (
+              SELECT doc_id, list(CAST(e AS DOUBLE) ORDER BY d) AS e
+              FROM te GROUP BY doc_id
+            ),
+            tnv AS (
+              SELECT doc_id,
+                     CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm)
+                          ELSE e END AS u
+              FROM (SELECT doc_id, e,
+                           sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+                    FROM tev)
+            ),
+            sc AS (
+              SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+                     list_sum(list_transform(generate_series(1, len(q.u)),
+                                             i -> q.u[i] * c.u[i])) AS score
+              FROM tnv q JOIN tnv c ON q.doc_id <> c.doc_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, corpus_id ASC) AS rn
+              FROM sc
+            ),
+            kth AS (
+              SELECT query_id, max(CASE WHEN rn = 5 THEN score END) AS kv
+              FROM rk GROUP BY query_id
+            )
+            SELECT s.query_id, s.corpus_id, s.score
+            FROM sc s JOIN kth k USING (query_id)
+            WHERE k.kv IS NULL OR s.score >= k.kv
         """,
     }

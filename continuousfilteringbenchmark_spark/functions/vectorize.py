@@ -83,6 +83,55 @@ def count_vectors(
     return counts.join(vocab, "tok").select("doc_id", "vocab_id", "cnt")
 
 
+_TE_OFFSET = 1 << 39  # centers the 40-bit md5 draw on zero
+
+
+def tuple_embedding(
+    toks: DataFrame,
+    dim: int = 16,
+    tag: str = "te",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic tuple embedding (the N7 DeepBlocker stand-in's encoder).
+
+    The reference's DeepBlocker (``nnmethods/deepblocker/d4SA.py:17-27``)
+    embeds each entity's aggregate value with a LEARNED AutoEncoder over
+    pretrained fastText word vectors, then pairs with exact top-K cosine.
+    The learned model is an external dependency with no deterministic spec,
+    so this engine substitutes the classic feature-hashing embedding: every
+    token maps to a pseudo-random vector whose j-th coordinate is an
+    md5-derived integer in ``[-2^39, 2^39)`` (same construction as the LSH
+    planes, ``operators/lsh.py hash_uniforms``), and the document embedding
+    is the coordinate-wise SUM over its token set. Cosine is scale
+    invariant, so sum-pooling equals the fastText-style mean-pooling — and
+    keeping the coordinates as exact BIGINTs makes the aggregation
+    order-independent at the bit level (a double mean would vary with
+    shuffle order), which is what lets the DuckDB oracle replay the
+    embedding exactly.
+
+    Pure codegen: explode the token set, evaluate ``dim`` md5 expressions
+    per token row, one hash aggregation on doc_id. At corpus scale this is
+    one shuffle keyed by doc_id (uniform) with map-side partial sums.
+
+    Output: (doc_id, vec array<bigint>), one row per doc with >= 1 token.
+    """
+    ex = toks.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.col(tokens_col)).alias("tok")
+    )
+
+    def coord(j: int):
+        key = F.concat_ws(":", F.lit(tag), F.col("tok"), F.lit(str(j)))
+        raw = F.conv(F.substring(F.md5(key), 1, 10), 16, 10).cast("long")
+        return raw - F.lit(_TE_OFFSET)
+
+    sums = [F.sum(coord(j)).alias(f"_e{j}") for j in range(dim)]
+    agg = ex.groupBy("doc_id").agg(*sums)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"_e{j}") for j in range(dim)]).alias("vec")
+    )
+
+
 def bool_vectors(
     toks: DataFrame,
     vocab: DataFrame | None = None,

@@ -244,3 +244,57 @@ def range_search(
         F.aggregate(F.zip_with("_qv", "_cv", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x),
     )
     return pairs.where(F.col("score") >= threshold).select("left_id", "right_id", "score")
+
+
+def deepblocker_topk(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    k: int = 5,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    method: str = "exact",
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """N7 DeepBlocker stand-in: deterministic tuple embedding + top-K pairing.
+
+    Reference shape (``nnmethods/deepblocker/d4SA.py:17-27``,
+    ``nnmethods/DDB/d4SA.py:20-30``, Dirty-ER scalability baseline
+    ``nnmethods/scalabilityAnalysis/DDB.py:13-57`` with K=5 over
+    ``Clean Ag.Value``): tuple_embedding_model encodes each entity's
+    aggregate text, ExactTopKVectorPairing(K) emits each left entity's K
+    nearest right entities by vector similarity. The learned AutoEncoder
+    encoder is replaced by the deterministic feature-hashing embedding
+    (``functions/vectorize.tuple_embedding`` — md5-derived token vectors,
+    sum-pooled; cosine-equivalent to fastText-style mean pooling); the
+    pairing step is IDENTICAL to the reference's (exact top-K cosine,
+    tie-inclusive like every top-k in this engine).
+
+    ``right=None`` runs Dirty-ER self-pairing (DDB.py's mode); otherwise
+    left entities query against the right collection (d4SA.py's mode).
+    ``method='exact'`` is ExactTopKVectorPairing parity (quadratic — the
+    reference's own pairing is brute-force over the embedding matrix);
+    ``method='ivf'`` swaps in the sampled-quantizer IVF search, the plan
+    that survives corpus scale.
+
+    Output: (query_id, corpus_id, score).
+    """
+    from ..functions import tokenize as tk
+    from ..functions.vectorize import tuple_embedding
+
+    def embed(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col).alias("doc_id"),
+            tk.word_token_set(text_col).alias("tokens"),
+        ).where(F.size("tokens") > 0)
+        emb = tuple_embedding(toks, dim=dim)
+        return emb.select("doc_id", F.col("vec").cast("array<double>").alias("vec"))
+
+    q = embed(left)
+    c = q if right is None else embed(right)
+    if method == "exact":
+        return knn_exact(q, c, k, id_col="doc_id")
+    if method == "ivf":
+        return knn_ivf(q, c, k, n_cells=n_cells, nprobe=nprobe, id_col="doc_id")
+    raise ValueError("method must be 'exact' or 'ivf'")

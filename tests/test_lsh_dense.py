@@ -164,3 +164,49 @@ def test_range_search_threshold(spark):
         for r in range_search(vecs, None, threshold=0.85, lsh_tables=16, lsh_bits=4).collect()
     }
     assert lsh_got <= expected
+
+
+def test_tuple_embedding_deterministic_and_exact(spark):
+    """The N7 encoder: coordinates are exact integer sums of md5-derived
+    token draws — identical across partitionings, and equal to a
+    hand-computed python replay."""
+    import hashlib
+
+    from continuousfilteringbenchmark_spark.functions.vectorize import tuple_embedding
+
+    rows = [("a", "alpha beta gamma"), ("b", "beta gamma delta"), ("c", "alpha")]
+    df = spark.createDataFrame(rows, "doc_id string, text string").withColumn(
+        "tokens", tk.word_token_set("text")
+    )
+    got1 = {r.doc_id: list(r.vec) for r in tuple_embedding(df.repartition(1), dim=4).collect()}
+    got8 = {r.doc_id: list(r.vec) for r in tuple_embedding(df.repartition(8), dim=4).collect()}
+    assert got1 == got8
+
+    def draw(tok, j):
+        return int(hashlib.md5(f"te:{tok}:{j}".encode()).hexdigest()[:10], 16) - (1 << 39)
+
+    expect = [sum(draw(t, j) for t in ("alpha", "beta", "gamma")) for j in range(4)]
+    assert got1["a"] == expect
+    assert got1["c"] == [draw("alpha", j) for j in range(4)]
+
+
+def test_deepblocker_topk_pairs_near_duplicates(spark):
+    """N7 stand-in end-to-end: near-identical docs must be each other's top
+    neighbor; ivf mode at full probe agrees with exact on who is rank-1."""
+    from continuousfilteringbenchmark_spark.operators.dense import deepblocker_topk
+
+    rows = [
+        ("1", "introduction to entity resolution blocking methods"),
+        ("2", "introduction to entity resolution blocking method"),
+        ("3", "grilled cheese sandwich recipe with tomato soup"),
+        ("4", "cheese sandwich recipe grilled with tomato soup"),
+        ("5", "quantum chromodynamics lattice gauge theory simulation"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    top1 = deepblocker_topk(df, None, k=1, dim=16).collect()
+    best = {r.query_id: r.corpus_id for r in top1}
+    assert best["1"] == "2" and best["2"] == "1"
+    assert best["3"] == "4" and best["4"] == "3"
+    ivf = deepblocker_topk(df, None, k=1, dim=16, method="ivf", n_cells=2, nprobe=2)
+    best_ivf = {r.query_id: r.corpus_id for r in ivf.collect()}
+    assert best_ivf["1"] == "2" and best_ivf["3"] == "4"

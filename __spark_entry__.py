@@ -804,6 +804,28 @@ def q_ngram_bool_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.bool_vectors(toks)
 
 
+def q_tuned_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A published operating point replayed THROUGH the config registry:
+    ``configs.from_reference('token_blocking', 'L2', 'D9')`` decodes the
+    reference's tuned grid ids for DBLP-Scholar at recall level L2
+    (``blockingWorkflowsL1L2L3/src/l2/TokenBlocking.java:34-47``, dataset
+    index 8: purging on, BlockFiltering grid 24 -> ratio 0.625, JS weights,
+    RECIPROCAL_CARDINALITY_NODE_PRUNING) and drives the engine end-to-end
+    with them — the workflow a user replays as "D9 at L2"."""
+    from continuousfilteringbenchmark_spark import configs
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.operators import metablocking as MB
+
+    cfg = configs.from_reference("token_blocking", "L2", "D9")
+    blocks = _doc_blocks(_documents(spark, sf_dir))
+    if cfg.block_purging:
+        blocks = B.block_purging(blocks, clean_clean=False)
+    if cfg.bf_ratio is not None:
+        blocks = B.block_filtering(blocks, cfg.bf_ratio, clean_clean=False)
+    weighted = MB.weighted_pairs(blocks, cfg.weight_scheme, clean_clean=False)
+    return configs.prune(weighted, cfg, blocks=blocks)
+
+
 def q_deepblocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N7 DeepBlocker stand-in (reference ``nnmethods/deepblocker/d4SA.py:
     17-27``; Dirty-ER baseline ``nnmethods/scalabilityAnalysis/DDB.py:13-57``
@@ -873,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count_vectors": q_shingle_count_vectors,
         "ngram_bool_vectors": q_ngram_bool_vectors,
         "deepblocker_pairs": q_deepblocker_pairs,
+        "tuned_workflow": q_tuned_workflow,
     }
 
 
@@ -941,7 +964,10 @@ purged AS (
 
 # Block Filtering ratio=0.5 over the purged table (stats recomputed on it;
 # rank by comparisons asc, block_key asc; keep round(n*0.5) smallest)
-_FILTER = r"""
+def _filter_sql(ratio: float = 0.5) -> str:
+    """Block-filtering CTE over ``purged`` -> ``filtered`` (keep each doc in
+    the ``ratio`` smallest of its blocks, ties by key)."""
+    return f"""
 pstats AS (
   SELECT block_key, CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS comp
   FROM purged GROUP BY block_key
@@ -955,9 +981,12 @@ ranked AS (
 ),
 filtered AS (
   SELECT doc_id, block_key FROM ranked
-  WHERE rk <= CAST(round(CAST(nb AS DOUBLE) * 0.5) AS INT)
+  WHERE rk <= CAST(round(CAST(nb AS DOUBLE) * {ratio}) AS INT)
 )
 """
+
+
+_FILTER = _filter_sql(0.5)
 
 # english marker lexicon (functions/text.py _LANG_MARKERS)
 _EN = "['the','and','of','to','in','is','that','with','for','was']"
@@ -2437,6 +2466,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e.doc_id, v.vocab_id
             FROM ex e JOIN vocab v USING (tok)
+        """,
+        # the registry-decoded "D9 at L2" operating point: purging ->
+        # BlockFiltering(0.625) -> JS weights -> reciprocal CNP with the
+        # derived per-node budget (same kval/ne/flags chain as
+        # jedai_workflow; reciprocal = pass at BOTH endpoints)
+        "tuned_workflow": f"""
+            WITH {_TOKS}, {_BSTATS}, {_PURGE}, {_filter_sql(0.625)},
+            fnb AS (SELECT doc_id, count(*) AS nb FROM filtered GROUP BY doc_id),
+            kval AS (
+              SELECT greatest(1, CAST(floor(
+                       CAST((SELECT count(*) FROM filtered) AS DOUBLE)
+                       / greatest((SELECT count(DISTINCT doc_id) FROM filtered), 1)
+                       + 0.5) AS BIGINT) - 1) AS k
+            ),
+            wt AS (
+              SELECT p.left_id, p.right_id,
+                     CAST(p.cbs AS DOUBLE) / (l.nb + r.nb - p.cbs) AS weight
+              FROM (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS cbs
+                FROM filtered a
+                JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+              ) p
+              JOIN fnb l ON l.doc_id = p.left_id
+              JOIN fnb r ON r.doc_id = p.right_id
+            ),
+            ne AS (
+              SELECT left_id AS node, left_id, right_id, weight, right_id AS other
+              FROM wt
+              UNION ALL
+              SELECT right_id AS node, left_id, right_id, weight, left_id AS other
+              FROM wt
+            ),
+            flags AS (
+              SELECT left_id, right_id, weight,
+                     CASE WHEN row_number() OVER (PARTITION BY node
+                                                  ORDER BY weight DESC, other ASC)
+                               <= (SELECT k FROM kval)
+                          THEN 1 ELSE 0 END AS pass
+              FROM ne
+            )
+            SELECT left_id, right_id, weight
+            FROM flags
+            GROUP BY left_id, right_id, weight
+            HAVING sum(pass) >= 2
         """,
         # N7 DeepBlocker stand-in: feature-hashing tuple embedding (exact
         # BIGINT coordinate sums over md5-derived token vectors — order

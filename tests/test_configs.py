@@ -186,3 +186,17 @@ def test_prune_dispatch(spark, toy_blocks):
     for g in C.BLOCKING_TUNED.values():
         for i in g["ws"]:
             assert C.weight_scheme_from_grid(i) in WEIGHT_SCHEMES
+
+
+def test_tuned_workflow_query_decodes_documented_cell():
+    """__spark_entry__.q_tuned_workflow replays 'D9 at L2' through the
+    registry; pin the decoded operating point it documents (purging on,
+    BlockFiltering 0.625, JS, reciprocal CNP — l2/TokenBlocking.java:34-47
+    index 8) so a registry edit can't silently change the query."""
+    import continuousfilteringbenchmark_spark.configs as C
+
+    cfg = C.from_reference("token_blocking", "L2", "D9")
+    assert cfg.block_purging is True
+    assert cfg.bf_ratio == 0.625
+    assert cfg.weight_scheme == "JS"
+    assert cfg.mb_algorithm == "RECIPROCAL_CARDINALITY_NODE_PRUNING"

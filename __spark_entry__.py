@@ -596,6 +596,30 @@ def q_incremental_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(pairs_dir).select("left_id", "right_id").distinct()
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming exact dedup (streaming/stateful.py —
+    ``applyInPandasWithState`` keyed on content hash, decide-at-arrival).
+    The corpus is fed as ONE micro-batch (single input file), under which
+    the contract reduces to: keeper = lexicographic min doc_id per content
+    hash, keep = (doc_id == keeper) — exactly what the oracle replays.
+    Cross-micro-batch state carry is covered by
+    tests/test_streaming_stateful.py."""
+    import tempfile
+
+    from continuousfilteringbenchmark_spark.streaming.stateful import (
+        run_streaming_exact_dedup,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    input_dir = f"{work}/docs"
+    _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    ).coalesce(1).write.mode("overwrite").parquet(input_dir)
+    return run_streaming_exact_dedup(
+        spark, input_dir, f"{work}/run", schema="doc_id string, text string"
+    )
+
+
 def q_jedai_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B18 the JedAI default workflow, composed end-to-end: StandardBlocking
     -> ComparisonsBasedBlockPurging -> BlockFiltering(0.5) -> CNP with the
@@ -739,20 +763,24 @@ def q_knn_ivf_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_knn_ivf_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N5 IVF top-k in the APPROXIMATE regime (nprobe < n_cells) — the plan
-    that runs at corpus scale: sample-trained k-means quantizer, corpus
-    sharded by nearest cell, each query probing its 4 of 16 cells, exact
-    re-rank inside. Sub-quadratic (the cell join bounds candidates to
-    ~nprobe/n_cells of the corpus per query). No SQL oracle — k-means
-    centroids aren't SQL-replayable — so the driver records the rows-only
-    check; exactness of the IVF plumbing is certified by the full-probe
-    twin ``knn_ivf_embeddings`` (hash-exact vs the brute-force oracle) and
-    recall by the unit tests + N8 tuner."""
+    that runs at corpus scale: coarse quantizer, corpus sharded by nearest
+    cell, each query probing its 4 of 16 cells, exact re-rank inside.
+    Sub-quadratic (the cell join bounds candidates to ~nprobe/n_cells of
+    the corpus per query). Runs the ``quantizer='sample'`` mode (seeded
+    md5-sampled member centroids) so the oracle can replay centroid choice,
+    cell routing, probing AND re-rank exactly in SQL — the whole approximate
+    regime is hash-certified, not rows-only. The k-means quantizer (the
+    operator default) has un-replayable centroids; its plumbing is certified
+    by the full-probe twin ``knn_ivf_embeddings`` (hash-exact vs the
+    brute-force oracle) and its recall by the unit tests + N8 tuner."""
     from continuousfilteringbenchmark_spark.operators.dense import knn_ivf
 
     vecs = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
-    return knn_ivf(vecs, vecs, k=5, n_cells=16, nprobe=4, id_col="vec_id")
+    return knn_ivf(
+        vecs, vecs, k=5, n_cells=16, nprobe=4, id_col="vec_id", quantizer="sample"
+    )
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -878,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "schema_based_ejoin": q_schema_based_ejoin,
         "incremental_blocking": q_incremental_blocking,
+        "streaming_dedup": q_streaming_dedup,
         "range_search_lsh": q_range_search_lsh,
         "range_search_multiprobe": q_range_search_multiprobe,
         "jedai_workflow": q_jedai_workflow,
@@ -1380,6 +1409,18 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(trim(text))) AS content_hash,
                    count(*) OVER (PARTITION BY md5(lower(trim(text)))) > 1 AS is_duplicate,
                    min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
+            FROM documents
+        """,
+        # streaming stateful dedup, one micro-batch: keeper = lexicographic
+        # min doc_id (the operator compares STRING ids — "10" < "2") per
+        # content hash; keep = is-the-keeper
+        "streaming_dedup": r"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   md5(lower(trim(text))) AS content_hash,
+                   CAST(doc_id AS VARCHAR) = min(CAST(doc_id AS VARCHAR))
+                     OVER (PARTITION BY md5(lower(trim(text)))) AS keep,
+                   min(CAST(doc_id AS VARCHAR))
+                     OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
             FROM documents
         """,
         "token_blocks": f"""
@@ -2239,6 +2280,50 @@ def oracle_sql() -> dict[str, str]:
                      list_sum(list_transform(generate_series(1, len(q.u)),
                                              i -> q.u[i] * c.u[i])) AS score
               FROM nv q JOIN nv c ON q.vec_id <> c.vec_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, corpus_id ASC) AS rn
+              FROM sc
+            )
+            SELECT query_id, corpus_id, score FROM rk WHERE rn <= 5
+        """,
+        # the approximate IVF regime replayed exactly: sampled-member
+        # centroids (16 smallest md5(id:seed) keys), nearest-cell corpus
+        # sharding, 4-of-16 query probing, per-query exact re-rank — the
+        # same md5->int40 idiom and list_sum dot-product fold the other
+        # oracles already certify bit-for-bit
+        "knn_ivf_approx": f"""
+            WITH {_NVEC},
+            keyed AS (
+              SELECT vec_id, u,
+                     CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':42'),
+                                            1, 10) AS BIGINT) AS s
+              FROM nv
+            ),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY s ASC,
+                                        CAST(vec_id AS VARCHAR) ASC) - 1 AS cell,
+                     u AS cu
+              FROM (SELECT * FROM keyed
+                    ORDER BY s ASC, CAST(vec_id AS VARCHAR) ASC LIMIT 16)
+            ),
+            asg AS (
+              SELECT n.vec_id, c.cell, n.u,
+                     row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_sum(list_transform(generate_series(1, len(n.u)),
+                                                        i -> n.u[i] * c.cu[i])) DESC,
+                                c.cell ASC) AS rn
+              FROM nv n CROSS JOIN cent c
+            ),
+            sc AS (
+              SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     list_sum(list_transform(generate_series(1, len(q.u)),
+                                             i -> q.u[i] * c.u[i])) AS score
+              FROM (SELECT * FROM asg WHERE rn <= 4) q
+              JOIN (SELECT * FROM asg WHERE rn = 1) c USING (cell)
+              WHERE q.vec_id <> c.vec_id
             ),
             rk AS (
               SELECT *, row_number() OVER (PARTITION BY query_id

@@ -97,48 +97,85 @@ def knn_ivf(
     vec_col: str = "vec",
     id_col: str = "doc_id",
     train_points_per_cell: int = 256,
+    quantizer: str = "kmeans",
 ) -> DataFrame:
-    """IVF-style approximate top-k: k-means coarse quantizer (seeded MLlib),
-    corpus sharded by nearest cell, queries probe ``nprobe`` cells, exact
-    re-rank within. FAISS ``IVF{n},Flat`` parity
+    """IVF-style approximate top-k: coarse quantizer cells, corpus sharded by
+    nearest cell, queries probe ``nprobe`` cells, exact re-rank within.
+    FAISS ``IVF{n},Flat`` parity
     (``nnmethods/scalabilityAnalysis/FAISS.py`` config IVF1600/nprobe80).
 
-    The quantizer is fit on a BOUNDED SAMPLE of ~``train_points_per_cell *
-    n_cells`` vectors (FAISS trains its IVF on a sample for the same
-    reason) — at 10^9+ vectors a full-corpus k-means fit is itself a
-    scale-killer, while cell routing and re-rank only need centroids that
-    roughly partition the space. The sample is seeded (deterministic per
-    input); when the corpus is smaller than the budget every vector trains.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    ``quantizer``:
 
-    budget = max(train_points_per_cell * n_cells, n_cells)
-    # bounded, deterministic training set: sample() needs a fraction (a
-    # count()-free estimate would be another job), so take the first
-    # ``budget`` rows ordered by a seeded hash — one small job, and the
-    # same rows regardless of partitioning. Persisted across the k-means
-    # iterations (each fit iteration re-scans its input; without the cache
-    # every iteration would re-run the read+sort chain) and dropped after.
-    train = (
-        corpus.select(_norm(vec_col).alias("_v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_s"))
-        .orderBy("_s")
-        .limit(budget)
-        .select(array_to_vector(F.col("_v")).alias("features"))
-        .persist()
-    )
-    # random init (not k-means||): the parallel init alone costs ~5 extra
-    # passes, and a coarse IVF quantizer only needs centroids that roughly
-    # partition the space — FAISS trains its IVF the same way (sampled,
-    # few iterations); 10 Lloyd iterations on the cached sample converge
-    # far past routing quality
-    try:
-        km = KMeans(k=n_cells, seed=seed, maxIter=10, initMode="random").fit(train)
-    finally:
-        train.unpersist()
-    centers = [
-        (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in km.clusterCenters()
-    ]
+    * ``'kmeans'`` (default) — seeded MLlib k-means fit on a BOUNDED SAMPLE
+      of ~``train_points_per_cell * n_cells`` vectors (FAISS trains its IVF
+      on a sample for the same reason) — at 10^9+ vectors a full-corpus
+      k-means fit is itself a scale-killer, while cell routing and re-rank
+      only need centroids that roughly partition the space. The sample is
+      seeded (deterministic per input); when the corpus is smaller than the
+      budget every vector trains.
+    * ``'sample'`` — centroids are the normalized vectors of the ``n_cells``
+      corpus rows with the smallest md5-derived keys (seeded, deterministic,
+      and — unlike k-means — exactly replayable by a SQL oracle: one tiny
+      bounded job, no Lloyd iterations). Random-member centroids are the
+      classic cheap coarse quantizer; routing quality is a notch below
+      k-means at equal n_cells, recall is tunable with nprobe as usual.
+    """
+    if quantizer not in ("kmeans", "sample"):
+        raise ValueError("quantizer must be 'kmeans' or 'sample'")
+    if quantizer == "sample":
+        # seeded sample: smallest n_cells md5-derived keys (ties by id);
+        # cell index = rank in that order. md5 over "id:seed" keeps the
+        # draw replayable on any engine (same idiom as operators/lsh.py).
+        key = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 10
+            ),
+            16,
+            10,
+        ).cast("long")
+        rows = (
+            corpus.select(
+                _norm(vec_col).alias("_v"),
+                key.alias("_s"),
+                F.col(id_col).cast("string").alias("_id"),
+            )
+            .orderBy("_s", "_id")
+            .limit(n_cells)
+            .collect()
+        )
+        centers = [list(r["_v"]) for r in rows]
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        budget = max(train_points_per_cell * n_cells, n_cells)
+        # bounded, deterministic training set: sample() needs a fraction (a
+        # count()-free estimate would be another job), so take the first
+        # ``budget`` rows ordered by a seeded hash — one small job, and the
+        # same rows regardless of partitioning. Persisted across the k-means
+        # iterations (each fit iteration re-scans its input; without the cache
+        # every iteration would re-run the read+sort chain) and dropped after.
+        train = (
+            corpus.select(
+                _norm(vec_col).alias("_v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("_s")
+            )
+            .orderBy("_s")
+            .limit(budget)
+            .select(array_to_vector(F.col("_v")).alias("features"))
+            .persist()
+        )
+        # random init (not k-means||): the parallel init alone costs ~5 extra
+        # passes, and a coarse IVF quantizer only needs centroids that roughly
+        # partition the space — FAISS trains its IVF the same way (sampled,
+        # few iterations); 10 Lloyd iterations on the cached sample converge
+        # far past routing quality
+        try:
+            km = KMeans(k=n_cells, seed=seed, maxIter=10, initMode="random").fit(train)
+        finally:
+            train.unpersist()
+        centers = [
+            (c.toArray() if hasattr(c, "toArray") else c).tolist() for c in km.clusterCenters()
+        ]
 
     c_cells = _assign_cells(corpus, centers, 1, vec_col, id_col, "corpus_id")
     q_cells = _assign_cells(queries, centers, nprobe, vec_col, id_col, "query_id")

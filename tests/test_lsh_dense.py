@@ -135,6 +135,25 @@ def test_knn_ivf_recall_vs_exact(spark):
     assert len(e & a) / len(e) >= 0.7
 
 
+def test_knn_ivf_sample_quantizer(spark):
+    """quantizer='sample' (seeded md5-sampled member centroids — the
+    SQL-replayable mode q_knn_ivf_approx certifies): full-probe output must
+    equal exact top-k (routing completeness is centroid-independent), the
+    approximate regime keeps reasonable recall, and a bad quantizer raises."""
+    import pytest
+
+    vecs, _ = vector_corpus(spark, n_entities=60, dim=16, seed=5)
+    exact = knn_exact(vecs, vecs, k=3)
+    e = {(r.query_id, r.corpus_id) for r in exact.collect()}
+    full = knn_ivf(vecs, vecs, k=3, n_cells=4, nprobe=4, seed=5, quantizer="sample")
+    assert {(r.query_id, r.corpus_id) for r in full.collect()} == e
+    approx = knn_ivf(vecs, vecs, k=3, n_cells=4, nprobe=2, seed=5, quantizer="sample")
+    a = {(r.query_id, r.corpus_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.6
+    with pytest.raises(ValueError):
+        knn_ivf(vecs, vecs, k=3, quantizer="pq")
+
+
 def test_range_search_threshold(spark):
     # exact oracle: range_search must return precisely the pairs whose
     # cosine >= threshold (brute force in pure python)

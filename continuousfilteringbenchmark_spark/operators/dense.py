@@ -31,10 +31,69 @@ from pyspark.sql import functions as F
 from ..functions.similarity import cosine_dense
 
 
-def _norm(vec_col: str = "vec"):
+def _norm_sql(vec_col: str = "vec"):
+    """SQL formulation of L2 normalization — kept as the executable spec the
+    DuckDB oracles replay, and as documentation of the exact IEEE-double
+    fold ``_norm`` must reproduce. NOT used in plans: Catalyst inlines the
+    scalar ``n`` into the per-element division lambda (lambda bindings see
+    no CSE), making this O(d^2) per row — and when the projection sits
+    under a join, the whole thing re-evaluates per JOINED row (measured:
+    ~40 CPU-seconds for a 32k-row cell-assignment stage at d=64)."""
     v = F.col(vec_col)
     n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     return F.when(n > 0, F.transform(v, lambda x: x / n)).otherwise(v)
+
+
+def _l2_normalize_batch(vs):
+    """numpy mirror of ``_norm_sql`` — bit-identical IEEE doubles: the sum
+    of squares accumulates dimension-sequentially (the same left fold as
+    ``aggregate(v, 0.0D, (a,x) -> a + x*x)``), and sqrt/divide are
+    correctly rounded single ops in both runtimes."""
+    import numpy as np
+
+    arrs = [None if v is None else np.asarray(v, dtype=np.float64) for v in vs]
+    sizes = {a.size for a in arrs if a is not None}
+    if len(sizes) == 1 and not any(a is None for a in arrs):
+        x = np.stack(arrs)
+        s = np.zeros(x.shape[0])
+        for d in range(x.shape[1]):  # dim-sequential: same fold as the SQL
+            s = s + x[:, d] * x[:, d]
+        n = np.sqrt(s)
+        pos = n > 0  # NaN/0 norms keep the raw vector (SQL otherwise-branch)
+        out = x.copy()
+        out[pos] = x[pos] / n[pos, None]
+        return [r.tolist() for r in out]
+    res = []
+    for a in arrs:
+        if a is None:
+            res.append(None)
+            continue
+        s = 0.0
+        for xv in a.tolist():
+            s += xv * xv
+        n = s**0.5
+        res.append([xv / n for xv in a.tolist()] if n > 0 else a.tolist())
+    return res
+
+
+def _norm(vec_col: str = "vec"):
+    """L2-normalize an array<double> column (Arrow-vectorized pandas UDF).
+
+    Same result as ``_norm_sql`` bit-for-bit (see ``_l2_normalize_batch``),
+    so every hash-exact oracle replay is unaffected — but O(d) per row,
+    evaluated ONCE per input row at the ArrowEvalPython barrier instead of
+    being re-inlined per joined row / per lambda element. At corpus scale
+    this is one linear Arrow pass over the vector column, the same traffic
+    every signature UDF (N1-N4) already pays.
+    """
+    import pandas as pd
+
+    def _udf(vs):
+        return pd.Series(_l2_normalize_batch(vs))
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf can't resolve the local pd import
+    return F.pandas_udf(_udf, "array<double>")(F.col(vec_col))
 
 
 def knn_exact(
@@ -179,8 +238,24 @@ def knn_ivf(
 
     c_cells = _assign_cells(corpus, centers, 1, vec_col, id_col, "corpus_id")
     q_cells = _assign_cells(queries, centers, nprobe, vec_col, id_col, "query_id")
-    cand = q_cells.select("query_id", "cell", F.col("_v").alias("_qv")).join(
-        c_cells.select("corpus_id", "cell", F.col("_v").alias("_cv")), "cell"
+    # pin the cell join's parallelism: its INPUT is tiny (one row per doc
+    # per probe) but its OUTPUT fans out ~|corpus|/n_cells per probe, so
+    # AQE — which sizes reducers by input bytes — coalesces the join to a
+    # handful of tasks and the per-candidate re-rank scoring serializes
+    # (measured: the whole 1M-candidate stage on ONE core). An explicit
+    # hash repartition on the join key is respected by AQE; parallelism
+    # is bounded by n_cells, which at production scale is hundreds+
+    # (FAISS config IVF1600).
+    npart = queries.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        q_cells.select("query_id", "cell", F.col("_v").alias("_qv"))
+        .repartition(npart, "cell")
+        .join(
+            c_cells.select("corpus_id", "cell", F.col("_v").alias("_cv")).repartition(
+                npart, "cell"
+            ),
+            "cell",
+        )
     )
     cand = cand.where(F.col("query_id") != F.col("corpus_id")).withColumn(
         "score",

@@ -89,6 +89,13 @@ def minhash_near_duplicates(
     cand = minhash_lsh_join(toks, None, n_bands, n_buckets, threshold, seed)
     if not verify:
         return cand
+    # pin the verify's parallelism: the candidate table is narrow (two ids)
+    # so AQE coalesces the distinct's output to a handful of tasks, and the
+    # per-pair exact-Jaccard intersect over wide shingle arrays serializes;
+    # an explicit repartition on left_id spreads the verification
+    cand = cand.repartition(
+        toks.sparkSession.sparkContext.defaultParallelism, "left_id"
+    )
     hashed = toks.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
     lt = hashed.select(F.col("doc_id").alias("left_id"), F.col("_h").alias("_lt"))
     rt = hashed.select(F.col("doc_id").alias("right_id"), F.col("_h").alias("_rt"))

@@ -109,15 +109,38 @@ def minhash_bands(
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def buckets(hashed: pd.Series) -> pd.Series:
+        # the permutation table (a*h + b) % P is computed once per DISTINCT
+        # gram hash in a chunk of rows, then per-doc signatures gather+min
+        # from it: corpora share most shingles across documents, so the
+        # expensive int64 mul+mod count drops from n_hashes x total_tokens
+        # to n_hashes x unique_tokens (identical minima — dedup before min).
+        # Chunks cap the permutation table at ~n_hashes x CH x 8 bytes.
         out = []
-        for row in hashed:
-            x = np.asarray(row, dtype=np.int64)  # (T,) 40-bit values
-            # (n_hashes, T): a*x + b < 2^61, exact in int64
-            sig = ((a_col * x[None, :] + b_col) % _MINHASH_P).min(axis=1)
-            # bands are consecutive r-slices of the signature; sum < r*P
-            # < 2^34, then (mod P) * LARGE_PRIME < 2^60 — never wraps
-            band_sums = sig.reshape(n_bands, r).sum(axis=1)
-            out.append(((band_sums % _MINHASH_P) * _LARGE_PRIME % n_buckets).tolist())
+        arrs = [np.asarray(row, dtype=np.int64) for row in hashed]
+        CH = 100_000  # max tokens (hence unique hashes) per chunk
+        i, n = 0, len(arrs)
+        while i < n:
+            j, tot = i, 0
+            while j < n and (tot == 0 or tot + arrs[j].size <= CH):
+                tot += arrs[j].size
+                j += 1
+            flat = (
+                np.concatenate(arrs[i:j]) if j > i else np.empty(0, np.int64)
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            # (n_hashes, U): a*h + b < 2^61, exact in int64
+            sig_u = (a_col * uniq[None, :] + b_col) % _MINHASH_P
+            pos = 0
+            for x in arrs[i:j]:
+                sig = sig_u[:, inv[pos : pos + x.size]].min(axis=1)
+                pos += x.size
+                # bands are consecutive r-slices of the signature; sum < r*P
+                # < 2^34, then (mod P) * LARGE_PRIME < 2^60 — never wraps
+                band_sums = sig.reshape(n_bands, r).sum(axis=1)
+                out.append(
+                    ((band_sums % _MINHASH_P) * _LARGE_PRIME % n_buckets).tolist()
+                )
+            i = j
         return pd.Series(out)
 
     return (
@@ -135,14 +158,26 @@ def lsh_candidates(
     ``right_bands=None`` -> Dirty-ER self-join with left<right canonical
     ordering (MH_LSH.py:88-98); else Clean-Clean two-table join.
     """
+    # pin the bucket join's parallelism: band tables are narrow (a few MB
+    # even at 10^6 docs) so AQE — sizing reducers by INPUT bytes — coalesces
+    # the join to one task, and the candidate fan-out plus the downstream
+    # verification (wide token arrays per pair) serializes on one core
+    # (measured 5.8 CPU-s single-task at sf0.1). An explicit hash
+    # repartition on the join key is respected by AQE; parallelism is
+    # bounded by the number of distinct (band, bucket) cells — thousands.
+    npart = bands_df.sparkSession.sparkContext.defaultParallelism
     if right_bands is None:
         l = bands_df.select("band", "bucket", F.col("doc_id").alias("left_id"))
         r = bands_df.select("band", "bucket", F.col("doc_id").alias("right_id"))
-        pairs = l.join(r, ["band", "bucket"]).where(F.col("left_id") < F.col("right_id"))
+        pairs = l.repartition(npart, "band", "bucket").join(
+            r.repartition(npart, "band", "bucket"), ["band", "bucket"]
+        ).where(F.col("left_id") < F.col("right_id"))
     else:
         l = bands_df.select("band", "bucket", F.col("doc_id").alias("left_id"))
         r = right_bands.select("band", "bucket", F.col("doc_id").alias("right_id"))
-        pairs = l.join(r, ["band", "bucket"])
+        pairs = l.repartition(npart, "band", "bucket").join(
+            r.repartition(npart, "band", "bucket"), ["band", "bucket"]
+        )
     return pairs.select("left_id", "right_id").distinct()
 
 

@@ -163,7 +163,9 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches = score_pairs(pairs, toks, "jaccard", min_score=0.5).select(
         "left_id", "right_id"
     )
-    return clusters_with_singletons(documents, matches)
+    # matches are distinct by construction (comparison propagation ends in a
+    # pair distinct; scoring is 1-row-in-1-row-out) -> skip the CC init dedup
+    return clusters_with_singletons(documents, matches, input_distinct=True)
 
 
 def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

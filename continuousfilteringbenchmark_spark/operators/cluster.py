@@ -86,6 +86,7 @@ def connected_components(
     max_iter: int = 30,
     rounds_per_checkpoint: int = 2,
     checkpoint_dir: str | None = None,
+    input_distinct: bool = False,
 ) -> DataFrame:
     """Connected components of an undirected pair graph.
 
@@ -135,13 +136,18 @@ def connected_components(
         _unpersist_ids(sc, held)
         return out, (int(obs.get["n"]), int(obs.get["h"])), own
 
-    edges, prev, held = _cut(
-        pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct(),
-        "cc_init",
-        set(),
+    init = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v")).where(
+        F.col("u") != F.col("v")
     )
+    if not input_distinct:
+        # duplicate edges are harmless to the star rounds (min-agg absorbs
+        # them and each round ends in distinct) but inflate round-1 volume;
+        # callers whose pairs are distinct BY CONSTRUCTION (comparison
+        # propagation / lsh_candidates / epsilon_join all end in a pair
+        # distinct or per-pair agg) pass input_distinct=True to skip this
+        # full-edge-table shuffle
+        init = init.distinct()
+    edges, prev, held = _cut(init, "cc_init", set())
     for i in range(0, max_iter, rounds_per_checkpoint):
         step = edges
         for _ in range(rounds_per_checkpoint):
@@ -167,10 +173,15 @@ def connected_components(
     return assign
 
 
-def clusters_with_singletons(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def clusters_with_singletons(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    input_distinct: bool = False,
+) -> DataFrame:
     """Full clustering table: every doc gets a cluster; unmatched docs become
     singleton clusters (cluster_id = own doc_id)."""
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, input_distinct=input_distinct)
     all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
     return all_ids.join(cc, "doc_id", "left").select(
         "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")

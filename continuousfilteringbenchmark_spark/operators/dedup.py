@@ -118,7 +118,10 @@ def dedup_assignments(
 
     Output: (doc_id, group_id, keep boolean).
     """
-    cc = connected_components(pairs.select("left_id", "right_id"))
+    # every near-dup generator ends in a pair distinct / per-pair agg
+    cc = connected_components(
+        pairs.select("left_id", "right_id"), input_distinct=True
+    )
     all_ids = df.select(F.col(id_col).alias("doc_id")).distinct()
     return all_ids.join(cc, "doc_id", "left").select(
         "doc_id",

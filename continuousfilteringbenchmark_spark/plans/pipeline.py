@@ -404,7 +404,11 @@ def er_pipeline(
     # min_score pushes the threshold into the scorer (exact size-bound
     # prefilter before any intersection work)
     matches = score_pairs(pairs, tokened, cfg.sim, min_score=cfg.threshold)
-    clusters = clusters_with_singletons(docs, matches.select("left_id", "right_id"))
+    # matches are distinct by construction (B8 comparison propagation ends in
+    # a pair distinct; scoring is 1-row-in-1-row-out)
+    clusters = clusters_with_singletons(
+        docs, matches.select("left_id", "right_id"), input_distinct=True
+    )
     return {
         "tokened": tokened,
         "blocks": blocks,

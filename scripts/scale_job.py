@@ -147,7 +147,9 @@ def main() -> None:
     t0 = time.perf_counter()
     # construction is INSIDE the timer: the large-star/small-star loop runs
     # eager jobs (localCheckpoint + convergence checksums) while building
-    clusters = clusters_with_singletons(tokened.select("doc_id"), matches)
+    clusters = clusters_with_singletons(
+        tokened.select("doc_id"), matches, input_distinct=True
+    )
     counts["clusters"] = clusters.select("cluster_id").distinct().count()
     timings["clustering"] = round(time.perf_counter() - t0, 3)
 

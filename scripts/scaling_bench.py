@@ -197,8 +197,16 @@ def main() -> None:
         "continuing to scale with executors.",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # Hand-maintained addenda (secondary corpora, host pathology notes,
+    # throughput sweeps) live in BENCH/NOTES.md and are appended verbatim so
+    # regenerating the report never deletes curated measurement history.
+    notes_path = os.path.join(REPO, "BENCH", "NOTES.md")
+    notes = ""
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            notes = "\n" + f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + notes)
 
     print(
         json.dumps(

@@ -19,10 +19,31 @@ Oracle-SQL notes (why the values match bit-for-bit):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _stream_work_dir(prefix: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for the streaming queries, keyed by input
+    path and cleared on entry — repeated query constructions (bench
+    iterations, plan sweeps, oracle checks) reuse ONE directory instead of
+    mkdtemp-leaking a corpus copy per call. Not safe for two concurrent
+    constructions over the same sf_dir (the driver and tests run them
+    sequentially)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    return work
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,14 +605,12 @@ def q_incremental_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batch ingestion of the docs lift, stream-static join against the
     accumulated block index. The oracle is the BATCH token-blocking pair set —
     proving streaming == batch (exactly-once, no pairs lost or invented)."""
-    import tempfile
-
     from continuousfilteringbenchmark_spark.datamodel import documents_to_docs
     from continuousfilteringbenchmark_spark.streaming.incremental import (
         run_incremental_blocking,
     )
 
-    work = tempfile.mkdtemp(prefix="incr_blocking_")
+    work = _stream_work_dir("incr_blocking", sf_dir)
     input_dir = f"{work}/docs"
     documents_to_docs(_documents(spark, sf_dir)).write.mode("overwrite").parquet(input_dir)
     _, pairs_dir = run_incremental_blocking(spark, input_dir, f"{work}/run")
@@ -606,13 +625,11 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, keep = (doc_id == keeper) — exactly what the oracle replays.
     Cross-micro-batch state carry is covered by
     tests/test_streaming_stateful.py."""
-    import tempfile
-
     from continuousfilteringbenchmark_spark.streaming.stateful import (
         run_streaming_exact_dedup,
     )
 
-    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    work = _stream_work_dir("stream_dedup", sf_dir)
     input_dir = f"{work}/docs"
     _documents(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "text"

@@ -74,6 +74,21 @@ def _persistent_ids(sc) -> set[int]:
     return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
 
 
+def _own_checkpoint_ids(out: DataFrame, sc, pre: set[int]) -> set[int]:
+    """Ids of the RDD(s) a just-materialized ``checkpoint()`` persisted.
+
+    Primary path reads the ``LogicalRDD`` root of the returned Dataset —
+    exact, and immune to RDDs persisted CONCURRENTLY by other driver
+    threads (a pre/post diff of the global persistent-RDD set would capture
+    those and later unpersist someone else's only copy of a localCheckpoint).
+    Fallback (plan shape ever changes): the global diff, which is correct
+    for single-threaded drivers."""
+    try:
+        return {int(out._jdf.queryExecution().analyzed().rdd().id())}
+    except Exception:
+        return _persistent_ids(sc) - pre
+
+
 def _unpersist_ids(sc, ids: set[int]) -> None:
     m = sc._jsc.getPersistentRDDs()
     for rid in ids:
@@ -115,7 +130,13 @@ def connected_components(
     from pyspark.sql import Observation
 
     sc = pairs.sparkSession.sparkContext
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
+        # remember the session's configured checkpoint dir and restore it on
+        # exit — setCheckpointDir is session-global and silently clobbering
+        # the caller's directory would redirect THEIR later checkpoints
+        opt = sc._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
         sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame, tag: str, held: set[int]) -> tuple[DataFrame, tuple, set[int]]:
@@ -132,45 +153,51 @@ def connected_components(
             out = observed.checkpoint(eager=True)
         else:
             out = observed.localCheckpoint(eager=True)
-        own = _persistent_ids(sc) - pre
+        own = _own_checkpoint_ids(out, sc, pre)
         _unpersist_ids(sc, held)
         return out, (int(obs.get["n"]), int(obs.get["h"])), own
 
-    init = pairs.select(F.col("left_id").alias("u"), F.col("right_id").alias("v")).where(
-        F.col("u") != F.col("v")
-    )
-    if not input_distinct:
-        # duplicate edges are harmless to the star rounds (min-agg absorbs
-        # them and each round ends in distinct) but inflate round-1 volume;
-        # callers whose pairs are distinct BY CONSTRUCTION (comparison
-        # propagation / lsh_candidates / epsilon_join all end in a pair
-        # distinct or per-pair agg) pass input_distinct=True to skip this
-        # full-edge-table shuffle
-        init = init.distinct()
-    edges, prev, held = _cut(init, "cc_init", set())
-    for i in range(0, max_iter, rounds_per_checkpoint):
-        step = edges
-        for _ in range(rounds_per_checkpoint):
-            step = _small_star(_large_star(step))
-        edges, cur, held = _cut(step, f"cc_{i}", held)
-        if cur == prev:
-            break
-        prev = cur
+    try:
+        init = pairs.select(
+            F.col("left_id").alias("u"), F.col("right_id").alias("v")
+        ).where(F.col("u") != F.col("v"))
+        if not input_distinct:
+            # duplicate edges are harmless to the star rounds (min-agg absorbs
+            # them and each round ends in distinct) but inflate round-1 volume;
+            # callers whose pairs are distinct BY CONSTRUCTION (comparison
+            # propagation / lsh_candidates / epsilon_join all end in a pair
+            # distinct or per-pair agg) pass input_distinct=True to skip this
+            # full-edge-table shuffle
+            init = init.distinct()
+        edges, prev, held = _cut(init, "cc_init", set())
+        for i in range(0, max_iter, rounds_per_checkpoint):
+            step = edges
+            for _ in range(rounds_per_checkpoint):
+                step = _small_star(_large_star(step))
+            edges, cur, held = _cut(step, f"cc_{i}", held)
+            if cur == prev:
+                break
+            prev = cur
 
-    # fixpoint is a star forest: edges (node -> component min); compact the
-    # result to its own (small) checkpoint and free the final edge table
-    assign = (
-        edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
-        .union(edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")))
-        .groupBy("doc_id")
-        .agg(F.min("cluster_id").alias("cluster_id"))
-    )
-    if checkpoint_dir is not None:
-        assign = assign.checkpoint(eager=True)
-    else:
-        assign = assign.localCheckpoint(eager=True)
-    _unpersist_ids(sc, held)
-    return assign
+        # fixpoint is a star forest: edges (node -> component min); compact the
+        # result to its own (small) checkpoint and free the final edge table
+        assign = (
+            edges.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+            .union(
+                edges.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+            )
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+        if checkpoint_dir is not None:
+            assign = assign.checkpoint(eager=True)
+        else:
+            assign = assign.localCheckpoint(eager=True)
+        _unpersist_ids(sc, held)
+        return assign
+    finally:
+        if prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
 
 
 def clusters_with_singletons(

@@ -59,7 +59,11 @@ def _l2_normalize_batch(vs):
         for d in range(x.shape[1]):  # dim-sequential: same fold as the SQL
             s = s + x[:, d] * x[:, d]
         n = np.sqrt(s)
-        pos = n > 0  # NaN/0 norms keep the raw vector (SQL otherwise-branch)
+        # branch must mirror SQL `WHEN n > 0`: Spark AND DuckDB order NaN
+        # above every double, so a NaN norm takes the normalize branch there
+        # (yielding a NaN vector); numpy's `n > 0` is False for NaN, which
+        # would silently keep the raw vector and break hash-exact parity
+        pos = (n > 0) | np.isnan(n)
         out = x.copy()
         out[pos] = x[pos] / n[pos, None]
         return [r.tolist() for r in out]
@@ -72,7 +76,8 @@ def _l2_normalize_batch(vs):
         for xv in a.tolist():
             s += xv * xv
         n = s**0.5
-        res.append([xv / n for xv in a.tolist()] if n > 0 else a.tolist())
+        # n != n catches NaN: same `WHEN n > 0` parity as the stacked path
+        res.append([xv / n for xv in a.tolist()] if (n > 0 or n != n) else a.tolist())
     return res
 
 
@@ -311,21 +316,27 @@ def range_search(
         else:
             pairs = pairs.where(F.col("left_id") != F.col("right_id"))
     else:
-        from .lsh import hyperplane_bands, lsh_candidates
+        from .lsh import hyperplane_bands, hyperplane_mean, lsh_candidates
 
         # mean-centering needs ONE mean for both sides; the self-join case
         # centers on its own corpus, the two-table case skips centering so
         # both band tables hash in the same frame
         if self_join:
+            # the probe and base band tables hash the SAME input in the same
+            # frame: compute the centering mean (a full-scan aggregate that
+            # runs eagerly at construction) once and share it, instead of
+            # paying the scan per hyperplane_bands call
+            dim = len(queries.select(vec_col).first()[0])
+            mean_vec = hyperplane_mean(queries, dim, vec_col) if lsh_probes > 0 else None
             bands = hyperplane_bands(
-                queries, lsh_tables, lsh_bits, seed=lsh_seed,
-                vec_col=vec_col, id_col=id_col, center=True,
+                queries, lsh_tables, lsh_bits, dim=dim, seed=lsh_seed,
+                vec_col=vec_col, id_col=id_col, center=True, mean_vec=mean_vec,
             )
             if lsh_probes > 0:
                 probe = hyperplane_bands(
-                    queries, lsh_tables, lsh_bits, seed=lsh_seed,
+                    queries, lsh_tables, lsh_bits, dim=dim, seed=lsh_seed,
                     vec_col=vec_col, id_col=id_col, center=True,
-                    n_probes=lsh_probes,
+                    n_probes=lsh_probes, mean_vec=mean_vec,
                 )
                 # probe buckets join against BASE buckets (FALCONN probes a
                 # static index); a pair is found when either endpoint's probe

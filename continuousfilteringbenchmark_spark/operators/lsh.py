@@ -224,6 +224,17 @@ def hash_uniforms(tag: str, shape: tuple[int, ...]) -> np.ndarray:
     return flat.reshape(shape)
 
 
+def hyperplane_mean(vecs: DataFrame, dim: int, vec_col: str = "vec") -> np.ndarray:
+    """Per-dimension mean of a vector column (the FALCONN centering vector).
+    One aggregate job; factored out so callers that build SEVERAL band
+    tables over the same input (e.g. multiprobe + base in a self-join)
+    compute the full-scan mean once and share it via ``mean_vec``."""
+    mean_row = vecs.select(
+        F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("m")
+    ).collect()[0]["m"]
+    return np.array(mean_row, dtype=np.float64)
+
+
 def hyperplane_bands(
     vecs: DataFrame,
     n_tables: int = 8,
@@ -234,6 +245,7 @@ def hyperplane_bands(
     id_col: str = "doc_id",
     center: bool = True,
     n_probes: int = 0,
+    mean_vec: np.ndarray | None = None,
 ) -> DataFrame:
     """N3 random-hyperplane signatures: per table, n_bits of sign(V . R).
 
@@ -257,12 +269,10 @@ def hyperplane_bands(
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
     planes = hash_uniforms(f"hp:{seed}", (n_tables, n_bits, dim))
-    mean_vec = None
-    if center:
-        mean_row = vecs.select(
-            F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("m")
-        ).collect()[0]["m"]
-        mean_vec = np.array(mean_row, dtype=np.float64)
+    if not center:
+        mean_vec = None
+    elif mean_vec is None:
+        mean_vec = hyperplane_mean(vecs, dim, vec_col)
 
     out_type = T.ArrayType(
         T.StructType(

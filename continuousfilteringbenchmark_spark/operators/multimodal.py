@@ -13,6 +13,9 @@ the environment decides whether it runs):
 * ``'real'``  — PIL-based decode (``Image.open`` -> grayscale 8x8 ->
   normalized pixel vector). Raises ``ModuleNotFoundError`` with a clear
   message when PIL is absent (this container has no image libs).
+  Undecodable payloads yield ``feature = NULL`` (extract) / pass through
+  untouched (resize) instead of failing the task — one corrupt blob must
+  not kill a corpus-scale decode job.
 * ``'auto'``  — probe for PIL at call time: real when importable, else
   fall back to 'fake' with a one-time warning.
 
@@ -120,18 +123,29 @@ def _resolve_backend(decode_backend: str, what: str) -> str:
     return decode_backend
 
 
-def _real_features(payload: bytes, dim: int, image_mod) -> list[float]:
+def _real_features(payload: bytes, dim: int, image_mod) -> list[float] | None:
     """PIL decode -> grayscale 8x8 thumbnail -> normalized pixel vector,
     zero-padded / truncated to ``dim``. ``image_mod`` is the PIL.Image
     module captured DRIVER-side at plan construction and shipped in the
     task closure — python workers are separate processes, so resolving it
-    there would bypass any driver-side configuration (and test stubs)."""
+    there would bypass any driver-side configuration (and test stubs).
+
+    Returns ``None`` for payloads PIL cannot decode (corrupt bytes,
+    non-image blobs) instead of failing the task: at corpus scale a single
+    bad payload must not kill a 10^9-row decode job — downstream filters
+    on ``feature IS NULL`` pick up the rejects."""
     import io
 
     import numpy as np
 
-    img = image_mod.open(io.BytesIO(payload or b""))
-    px = np.asarray(img.convert("L").resize((8, 8)), dtype=np.float64).ravel() / 255.0
+    try:
+        img = image_mod.open(io.BytesIO(payload or b""))
+        px = (
+            np.asarray(img.convert("L").resize((8, 8)), dtype=np.float64).ravel()
+            / 255.0
+        )
+    except Exception:
+        return None
     out = np.zeros(dim, dtype=np.float64)
     n = min(dim, px.size)
     out[:n] = px[:n]
@@ -143,7 +157,8 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract as a mapInPandas operator.
 
-    Output: (media_ref, media_type, feature array<double>).
+    Output: (media_ref, media_type, feature array<double>); with the real
+    backend, feature is NULL for payloads PIL cannot decode.
     Batch shape: whole Arrow record batches stream through; payload bytes
     never materialize on the driver. Backend resolution (PIL probe /
     fallback warning) happens once, driver-side, at plan construction.
@@ -188,16 +203,29 @@ def resize_images(media: DataFrame, width: int, height: int, decode_backend: str
             import io
 
             for pdf in it:
-                out = []
-                for p in pdf["payload"]:
-                    img = image_mod.open(io.BytesIO(p or b"")).resize((width, height))
-                    buf = io.BytesIO()
-                    img.save(buf, format=getattr(img, "format", None) or "PNG")
-                    out.append(buf.getvalue())
+                out, widths, heights = [], [], []
+                for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):
+                    try:
+                        src = image_mod.open(io.BytesIO(p or b""))
+                        # .format is only set by open(); resize() returns a new
+                        # Image with format=None, so capture it BEFORE resizing
+                        # or every payload silently re-encodes as PNG
+                        fmt = getattr(src, "format", None) or "PNG"
+                        buf = io.BytesIO()
+                        src.resize((width, height)).save(buf, format=fmt)
+                        out.append(buf.getvalue())
+                        widths.append(width)
+                        heights.append(height)
+                    except Exception:
+                        # undecodable payload: pass through untouched with its
+                        # original metadata rather than killing the task
+                        out.append(p)
+                        widths.append(w0)
+                        heights.append(h0)
                 pdf = pdf.copy()
                 pdf["payload"] = out
-                pdf["width"] = width
-                pdf["height"] = height
+                pdf["width"] = widths
+                pdf["height"] = heights
                 yield pdf
 
         return media.mapInPandas(batches, media.schema)

@@ -81,8 +81,14 @@ _DICT_DOC_OVERHEAD = 48  # id string + offset slot per doc, estimated
 
 # token-table probe results keyed by (applicationId, semanticHash(hashed),
 # cap): repeated score_pairs constructions over the same token table (bench
-# iterations, pipeline stages sharing one tokenizer) pay the probe job ONCE
+# iterations, pipeline stages sharing one tokenizer) pay the probe job ONCE.
+# FIFO-bounded (a long session scoring many distinct tables must not grow
+# it without bound). Staleness note: the key is the PLAN, not the data — if
+# files under an identical plan grow between calls the stats undershoot;
+# the collect in _score_pairs_arrow is therefore independently bounded by
+# max_rows, so a stale 'under cap' can never trigger an unbounded collect.
 _probe_cache: dict[tuple, dict] = {}
+_PROBE_CACHE_MAX = 64
 
 
 def _token_stats(hashed: DataFrame, cap: int) -> dict:
@@ -116,6 +122,8 @@ def _token_stats(hashed: DataFrame, cap: int) -> dict:
     }
     stats["dict_bytes"] = stats["n_tokens"] * 8 + stats["n_docs"] * _DICT_DOC_OVERHEAD
     _probe_cache[key] = stats
+    while len(_probe_cache) > _PROBE_CACHE_MAX:
+        _probe_cache.pop(next(iter(_probe_cache)))
     return stats
 
 
@@ -125,6 +133,8 @@ def _score_pairs_arrow(
     sim: str,
     min_score: float | None,
     allow_sort: bool = True,
+    max_rows: int | None = None,
+    strict: bool = False,
 ) -> DataFrame | None:
     """Arrow-batched pair scorer over a broadcast token dictionary.
 
@@ -146,12 +156,36 @@ def _score_pairs_arrow(
     return None instead of falling back to the sort kernel — the caller
     (auto routing) then builds the jvm plan, which beats the sort kernel
     on large vocabularies.
+
+    ``max_rows``: when set, the dictionary collect is itself bounded to
+    ``max_rows + 1`` rows and the byte cap is re-checked on the ACTUAL
+    collected sizes — the probe stats that routed here are cached per plan
+    and can undershoot if the underlying files grew, so the caps are
+    enforced again on ground truth. On a bust: return None when
+    ``strict=False`` (auto falls back to the jvm join), raise when
+    ``strict=True`` (the caller explicitly demanded arrow under a cap).
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = pairs.sparkSession
-    rows = hashed.collect()
+    if max_rows is None:
+        rows = hashed.collect()
+    else:
+        rows = hashed.limit(max_rows + 1).collect()
+        actual_bytes = (
+            sum(len(r[1] or ()) for r in rows) * 8 + len(rows) * _DICT_DOC_OVERHEAD
+        )
+        if len(rows) > max_rows or actual_bytes > _DICT_MAX_BYTES:
+            if strict:
+                raise ValueError(
+                    f"engine='arrow' token dictionary busts its caps on the "
+                    f"collected data ({len(rows)} rows / ~{actual_bytes} bytes; "
+                    f"caps {max_rows} rows / {_DICT_MAX_BYTES} bytes) — the "
+                    "table grew past the probed stats; use engine='jvm' or "
+                    "broadcast_rows=None to accept an unbounded collect"
+                )
+            return None
     n_docs = len(rows)
     ids = [r[0] for r in rows]
     arrs = [np.asarray(r[1] or (), dtype=np.int64) for r in rows]
@@ -354,12 +388,16 @@ def score_pairs(
                 and stats["n_docs"] * w_est * 8 <= _BITSET_MAX_BYTES
             ):
                 out = _score_pairs_arrow(
-                    pairs, hashed, sim, min_score, allow_sort=False
+                    pairs, hashed, sim, min_score, allow_sort=False,
+                    max_rows=broadcast_rows,
                 )
                 if out is not None:
                     return out
     if engine == "arrow":
-        return _score_pairs_arrow(pairs, hashed, sim, min_score, allow_sort=True)
+        return _score_pairs_arrow(
+            pairs, hashed, sim, min_score, allow_sort=True,
+            max_rows=broadcast_rows, strict=True,
+        )
 
     lt = hashed.select(
         F.col("doc_id").alias("left_id"),

@@ -150,4 +150,12 @@ def run_streaming_exact_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    if not os.path.isdir(out_dir):
+        # zero micro-batches ran (empty input dir, or a re-run where every
+        # file is already checkpointed): the parquet sink never created the
+        # output path — return an empty decisions frame instead of letting
+        # the read raise "Path does not exist"
+        return spark.createDataFrame([], OUT_SCHEMA)
+    # explicit schema: a zero-row run leaves out_dir holding only stream
+    # metadata (no data files), where schema inference would raise
+    return spark.read.schema(OUT_SCHEMA).parquet(out_dir)

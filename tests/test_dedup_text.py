@@ -194,6 +194,66 @@ def test_multimodal_real_branch_with_pil_stub(spark, cc_corpus, monkeypatch):
     assert auto == {r.media_ref: r.feature for r in rows}
 
 
+def _make_resize_pil_stub():
+    """PIL stand-in that mimics the real library's format semantics: open()
+    sets .format, resize() returns a NEW image with format=None (exactly the
+    trap the operator must sidestep), save() records which format was used.
+    Payloads starting with b'BAD' raise on open, like corrupt bytes."""
+
+    class _Img:
+        def __init__(self, payload: bytes, fmt):
+            self._p = payload
+            self.format = fmt
+
+        def resize(self, wh):
+            return _Img(self._p, None)
+
+        def save(self, buf, format=None):
+            buf.write((format or "NONE").encode() + b":" + self._p)
+
+    class _StubPILImage:
+        @staticmethod
+        def open(buf):
+            p = buf.getvalue()
+            if p.startswith(b"BAD"):
+                raise ValueError("cannot identify image file")
+            return _Img(p, "JPEG")
+
+    return _StubPILImage
+
+
+def test_resize_real_keeps_source_format_and_skips_corrupt(spark, monkeypatch):
+    stub = _make_resize_pil_stub()
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: stub)
+    media = spark.createDataFrame(
+        [
+            ("ref://img/1", "image", bytearray(b"payload-one"), 32, 32, None),
+            ("ref://img/2", "image", bytearray(b"BAD-payload"), 31, 30, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = {r.media_ref: r for r in mm.resize_images(media, 8, 8, decode_backend="real").collect()}
+    good = rows["ref://img/1"]
+    # re-encoded with the format captured from open(), not resize()'s None
+    assert bytes(good.payload) == b"JPEG:payload-one"
+    assert (good.width, good.height) == (8, 8)
+    bad = rows["ref://img/2"]
+    # corrupt payload passes through untouched with its original metadata
+    assert bytes(bad.payload) == b"BAD-payload"
+    assert (bad.width, bad.height) == (31, 30)
+
+
+def test_extract_features_real_nulls_undecodable(spark, monkeypatch):
+    stub = _make_resize_pil_stub()
+    monkeypatch.setattr(mm, "_pil_image_module", lambda: stub)
+    media = spark.createDataFrame(
+        [("ref://img/bad", "image", bytearray(b"BAD-bytes"), 32, 32, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.extract_features(media, decode_backend="real").collect()
+    assert len(rows) == 1 and rows[0].feature is None
+
+
 def test_frame_sampling(spark):
     media = spark.createDataFrame(
         [("ref://vid/1", "video", None, None, None, 3500)],

@@ -105,6 +105,27 @@ def test_hyperplane_probe_zero_unchanged(spark):
     assert len(a) == vecs.count() * 4  # one base bucket per (doc, table)
 
 
+def test_l2_normalize_batch_nan_matches_sql_semantics():
+    """Spark SQL and DuckDB both order NaN above every double, so the spec's
+    `WHEN norm > 0` takes the normalize branch for a NaN norm (yielding a NaN
+    vector); the numpy mirror must do the same, in both the uniform-stack
+    and the ragged fallback paths."""
+    import math
+
+    from continuousfilteringbenchmark_spark.operators.dense import _l2_normalize_batch
+
+    # uniform-dim batch (stacked kernel)
+    out = _l2_normalize_batch([[float("nan"), 1.0], [3.0, 4.0], [0.0, 0.0]])
+    assert all(math.isnan(v) for v in out[0])
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [0.0, 0.0]  # zero norm keeps the raw vector
+    # ragged batch (per-row fallback)
+    out = _l2_normalize_batch([[float("nan")], [3.0, 4.0], [0.0, 0.0]])
+    assert all(math.isnan(v) for v in out[0])
+    assert out[1] == [0.6, 0.8]
+    assert out[2] == [0.0, 0.0]
+
+
 def test_knn_exact_matches_numpy_bruteforce(spark):
     import numpy as np
 

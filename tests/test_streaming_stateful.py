@@ -47,6 +47,25 @@ def test_streaming_dedup_single_batch_equals_batch_operator(spark, tmp_path):
     assert gh == wh
 
 
+def test_streaming_dedup_empty_input_returns_empty_frame(spark, tmp_path):
+    """Zero micro-batches (empty input dir) must yield an empty decisions
+    frame with the contract schema, not a 'Path does not exist' read error."""
+    from continuousfilteringbenchmark_spark.streaming.stateful import (
+        OUT_SCHEMA,
+        run_streaming_exact_dedup,
+    )
+
+    input_dir = str(tmp_path / "in")
+    import os
+
+    os.makedirs(input_dir)
+    got = run_streaming_exact_dedup(
+        spark, input_dir, str(tmp_path / "run"), schema="doc_id string, text string"
+    )
+    assert got.count() == 0
+    assert got.schema == OUT_SCHEMA
+
+
 def test_streaming_dedup_state_survives_across_batches(spark, tmp_path):
     """Second micro-batch sees the first batch's state: a re-arriving hash is
     dropped with keep_id pointing at the FIRST-SEEN keeper."""

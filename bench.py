@@ -60,10 +60,10 @@ def main() -> None:
     # CPU-steal variance) with the trimmed mean (drop min+max, average the
     # rest — the reference's average protocol made outlier-resistant)
     # reported alongside, plus the min/max spread
-    # reference E5 protocol is ITERATIONS=10 (TokenBlocking.java:26); 7 is
-    # the compromise between median convergence on this 3-5x-variance host
-    # and total bench wall (the suite runs ~45 s warm per iteration)
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "7"))
+    # full reference E5 protocol parity: ITERATIONS=10
+    # (TokenBlocking.java:26) — affordable now that the suite runs ~32 s
+    # warm per iteration at sf0.1
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "10"))
 
     from continuousfilteringbenchmark_spark.session import clear_session_caches
 

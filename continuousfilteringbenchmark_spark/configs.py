@@ -330,3 +330,48 @@ def prune(weighted, cfg: ReferenceBlockingConfig, blocks=None):
     if alg == _BLAST:
         return MB.blast_prune(weighted)
     raise ValueError(f"unknown comparison-cleaning algorithm {alg!r}")
+
+
+def build_blocks_from_reference(
+    docs, cfg: ReferenceBlockingConfig, clean_clean: bool, text_col: str = "text"
+):
+    """Run the decoded blocking chain of one tuned operating point:
+    builder (with its decoded q / threshold / suffix params) -> optional
+    ComparisonsBasedBlockPurging -> optional BlockFiltering at the decoded
+    ratio. ``docs`` is any table with (doc_id, <text_col>[, side])."""
+    from .operators import blocking as B
+
+    m = cfg.method
+    if m == "token_blocking":
+        blocks = B.standard_blocking(docs, text_col)
+    elif m == "qgrams_blocking":
+        blocks = B.qgrams_blocking(docs, cfg.qgram, text_col)
+    elif m == "extended_qgrams_blocking":
+        blocks = B.extended_qgrams_blocking(
+            docs, cfg.qgram, cfg.combination_threshold, text_col
+        )
+    elif m == "suffix_arrays_blocking":
+        blocks = B.suffix_arrays_blocking(
+            docs, cfg.min_suffix_length, cfg.max_suffix_frequency, text_col
+        )
+    elif m == "extended_suffix_arrays_blocking":
+        blocks = B.extended_suffix_arrays_blocking(
+            docs, cfg.min_suffix_length, cfg.max_suffix_frequency, text_col
+        )
+    else:
+        raise ValueError(f"unknown blocking method {m!r}")
+    if cfg.block_purging:
+        blocks = B.block_purging(blocks, clean_clean)
+    if cfg.bf_ratio is not None:
+        blocks = B.block_filtering(blocks, cfg.bf_ratio, clean_clean)
+    return blocks
+
+
+def candidate_pairs_from_reference(blocks, cfg: ReferenceBlockingConfig, clean_clean: bool):
+    """The operating point's candidate generation: weight the block pairs
+    with the decoded scheme, prune with the decoded comparison-cleaning
+    algorithm. Output: (left_id, right_id[, weight])."""
+    from .operators import metablocking as MB
+
+    weighted = MB.weighted_pairs(blocks, cfg.weight_scheme, clean_clean=clean_clean)
+    return prune(weighted, cfg, blocks=blocks)

@@ -96,10 +96,18 @@ def materialized_er_pipeline(
     store: StageStore,
     cfg=None,
     clean_clean: bool = True,
+    reference_config=None,
 ) -> dict[str, DataFrame]:
     """The M1 pipeline with every stage committed + resumable.
 
     Stage graph: tokened -> blocks -> candidate_pairs -> matches -> clusters.
+
+    ``reference_config``: a ``configs.ReferenceBlockingConfig`` (one of the
+    reference's published tuned operating points, e.g.
+    ``configs.from_reference('token_blocking', 'L2', 'D9')``). When given,
+    the blocks stage runs the decoded builder/purging/filtering chain and
+    the candidate stage the decoded weighting + comparison-cleaning pruner,
+    instead of ``cfg.blocking`` + plain comparison propagation.
     """
     from ..plans.pipeline import ERConfig, docs_with_tokens, score_pairs
     from ..operators import blocking as B
@@ -111,10 +119,24 @@ def materialized_er_pipeline(
     tokened = store.run_stage(
         "tokened", lambda: docs_with_tokens(docs, side_from_prefix=clean_clean)
     )
-    blocks = store.run_stage("blocks", lambda: B.build_blocks(tokened, cfg.blocking))
-    pairs = store.run_stage(
-        "candidate_pairs", lambda: B.pairs_from_blocks(blocks, clean_clean)
-    )
+    if reference_config is not None:
+        from .. import configs as C
+
+        blocks = store.run_stage(
+            "blocks",
+            lambda: C.build_blocks_from_reference(tokened, reference_config, clean_clean),
+        )
+        pairs = store.run_stage(
+            "candidate_pairs",
+            lambda: C.candidate_pairs_from_reference(
+                blocks, reference_config, clean_clean
+            ).select("left_id", "right_id"),
+        )
+    else:
+        blocks = store.run_stage("blocks", lambda: B.build_blocks(tokened, cfg.blocking))
+        pairs = store.run_stage(
+            "candidate_pairs", lambda: B.pairs_from_blocks(blocks, clean_clean)
+        )
     matches = store.run_stage(
         "matches",
         lambda: score_pairs(pairs, tokened, cfg.sim, min_score=cfg.threshold),

@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="input already has this flat text column (skip span aggregation)")
     p.add_argument("--gold", default=None,
                    help="optional parquet of gold (left_id,right_id) pairs; prints PC/PQ/F1")
+    p.add_argument("--reference-config", default=None, metavar="METHOD:LEVEL:DATASET",
+                   help="replay a published tuned operating point from the config "
+                        "registry (e.g. token_blocking:L2:D9): the decoded "
+                        "builder/purging/filtering chain plus the decoded "
+                        "weighting + comparison-cleaning pruner replace "
+                        "--builder/--q/--filter-ratio/--no-purge")
     return p
 
 
@@ -98,8 +104,23 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         sim=args.sim,
         threshold=args.threshold,
     )
+    ref_cfg = None
+    if args.reference_config:
+        from continuousfilteringbenchmark_spark import configs as C
+
+        try:
+            method, level, dataset = args.reference_config.split(":")
+        except ValueError:
+            raise SystemExit(
+                "--reference-config must be METHOD:LEVEL:DATASET, e.g. "
+                "token_blocking:L2:D9"
+            )
+        ref_cfg = C.from_reference(method, level, dataset)
+
     store = StageStore(spark, args.output, args.run_id)
-    stages = materialized_er_pipeline(docs, store, cfg, clean_clean=not args.dirty)
+    stages = materialized_er_pipeline(
+        docs, store, cfg, clean_clean=not args.dirty, reference_config=ref_cfg
+    )
 
     n_clusters = stages["clusters"].select("cluster_id").distinct().count()
     n_docs = stages["clusters"].count()

@@ -39,3 +39,32 @@ def test_run_pipeline_cli_and_resume(spark, tmp_path):
     assert {k: s2[k] for k in ("docs", "clusters")} == {
         k: s1[k] for k in ("docs", "clusters")
     }
+
+
+def test_run_pipeline_reference_config(spark, tmp_path):
+    """--reference-config METHOD:LEVEL:DATASET replays a registry operating
+    point: the committed candidate stage must equal the registry helpers'
+    composition (decoded blocking chain -> decoded weighting + pruner)."""
+    from continuousfilteringbenchmark_spark import configs as C
+    from continuousfilteringbenchmark_spark.fixtures import dirty_corpus
+    from continuousfilteringbenchmark_spark.plans.pipeline import docs_with_tokens
+
+    c = dirty_corpus(spark, n_entities=40)
+    inp = str(tmp_path / "docs.parquet")
+    c.docs.write.parquet(inp)
+    out = str(tmp_path / "runs")
+    s = run_pipeline.main(
+        ["--input", inp, "--output", out, "--run-id", "ref1", "--dirty",
+         "--reference-config", "token_blocking:L2:D9"],
+        spark=spark,
+    )
+    assert s["docs"] > 0 and s["clusters"] > 0
+
+    got = spark.read.parquet(os.path.join(out, "ref1", "candidate_pairs"))
+    cfg = C.from_reference("token_blocking", "L2", "D9")
+    tokened = docs_with_tokens(c.docs, side_from_prefix=False)
+    blocks = C.build_blocks_from_reference(tokened, cfg, clean_clean=False)
+    want = C.candidate_pairs_from_reference(blocks, cfg, clean_clean=False)
+    g = {(r.left_id, r.right_id) for r in got.collect()}
+    w = {(r.left_id, r.right_id) for r in want.collect()}
+    assert g == w and len(g) > 0

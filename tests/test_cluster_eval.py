@@ -111,3 +111,21 @@ def test_cc_reliable_checkpoint_mode(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
     ]
     assert any("rdd-" in p for p in written), written
+
+
+def test_cc_restores_session_checkpoint_dir(spark, tmp_path):
+    """connected_components(checkpoint_dir=...) must not clobber the
+    session's configured checkpoint directory — a caller's later
+    checkpoints would silently land in the CC scratch path otherwise."""
+    sc = spark.sparkContext
+    caller_dir = str(tmp_path / "caller_ck")
+    sc.setCheckpointDir(caller_dir)
+    connected_components(
+        _pairs(spark, [("a", "b"), ("b", "c")]),
+        checkpoint_dir=str(tmp_path / "cc_scratch"),
+    ).collect()
+    opt = sc._jsc.sc().getCheckpointDir()
+    assert opt.isDefined()
+    # spark normalizes to a URI and creates a random child dir; the caller's
+    # path must still be the prefix
+    assert caller_dir in opt.get()

@@ -757,6 +757,23 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_documents(spark, sf_dir), threshold=0.7, n=5)
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM-training-data curation job (plans/curation.py): exact
+    dedup -> MinHash-LSH near-dup over the exact survivors (0.7 / 5-gram,
+    the dedup operating point of ``minhash_dedup``) -> language filter
+    (en) -> quality filter (0.81). One decision row per doc:
+    (doc_id, keep, reason, rep_id, lang_pred, quality). The oracle replays
+    every stage exactly: md5 hash groups, the seeded minhash band math
+    (filtered to survivor endpoints — banding is per-doc so the pair set
+    over a subset IS the full pair set restricted to it), recursive
+    transitive closure, and the text_profile lang/quality arithmetic."""
+    from continuousfilteringbenchmark_spark.plans.curation import curate_corpus
+
+    return curate_corpus(
+        _documents(spark, sf_dir), allowed_langs=("en",), min_quality=0.81
+    )
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from continuousfilteringbenchmark_spark.functions import tokenize as tk
     from continuousfilteringbenchmark_spark.operators.lsh import simhash_near_duplicates
@@ -934,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extended_qgrams_blocks": q_extended_qgrams_blocks,
         "crosspolytope_lsh": q_crosspolytope_lsh,
         "minhash_dedup": q_minhash_dedup,
+        "corpus_curation": q_corpus_curation,
         "simhash_dedup": q_simhash_dedup,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "knn_ivf_approx": q_knn_ivf_approx,
@@ -2225,6 +2243,76 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.gid, d.doc_id) AS group_id,
                    coalesce(cc.gid, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        """,
+        "corpus_curation": f"""
+            WITH RECURSIVE
+            nh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+            ek AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keep_id
+                   FROM nh),
+            s1 AS (SELECT doc_id FROM ek WHERE doc_id = keep_id),
+            {_minhash_sql(n=5, threshold=0.7)},
+            mh1 AS (
+              SELECT m.left_id, m.right_id
+              FROM mh_scored m
+              JOIN s1 a ON a.doc_id = m.left_id
+              JOIN s1 b ON b.doc_id = m.right_id
+            ),
+            sym AS (
+              SELECT left_id AS src, right_id AS dst FROM mh1
+              UNION ALL
+              SELECT right_id, left_id FROM mh1
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            cc AS (SELECT a AS doc_id, min(b) AS gid FROM reach GROUP BY a),
+            {_PROFILE},
+            q AS (
+              SELECT doc_id, lang_pred,
+                     round(0.3 * (CASE WHEN n_toks BETWEEN 10 AND 10000 THEN 1.0
+                                       WHEN n_toks > 0 THEN 0.5 ELSE 0.0 END)
+                           + 0.3 * (CASE WHEN length(text) > 0
+                                         THEN CAST(length(regexp_replace(lower(text),
+                                                   '[^a-z ]', '', 'g')) AS DOUBLE)
+                                              / length(text)
+                                         ELSE 0.0 END)
+                           + 0.2 * least((CASE WHEN n_toks > 0
+                                               THEN CAST(s_en AS DOUBLE) / n_toks
+                                               ELSE 0.0 END) * 4, 1.0)
+                           + 0.2 * (CASE WHEN n_toks > 0
+                                         AND CAST(list_sum(list_transform(l, t -> length(t)))
+                                                  AS DOUBLE) / n_toks >= 3.0
+                                         AND CAST(list_sum(list_transform(l, t -> length(t)))
+                                                  AS DOUBLE) / n_toks <= 10.0
+                                         THEN 1.0 ELSE 0.5 END), 6) AS quality
+              FROM lang
+            ),
+            base AS (
+              SELECT q.doc_id, q.lang_pred, q.quality, ek.keep_id,
+                     CASE WHEN ek.doc_id <> ek.keep_id
+                          THEN coalesce(cck.gid, ek.keep_id)
+                          ELSE coalesce(cc.gid, q.doc_id) END AS rep_id
+              FROM q
+              JOIN ek ON ek.doc_id = q.doc_id
+              LEFT JOIN cc ON cc.doc_id = q.doc_id
+              LEFT JOIN cc cck ON cck.doc_id = ek.keep_id
+            ),
+            dec AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id <> keep_id THEN 'exact_dup'
+                          WHEN rep_id <> doc_id THEN 'near_dup'
+                          WHEN lang_pred <> 'en' THEN 'lang'
+                          WHEN quality < 0.81 THEN 'low_quality'
+                          ELSE 'ok' END AS reason,
+                     rep_id, lang_pred, quality
+              FROM base
+            )
+            SELECT doc_id, reason = 'ok' AS keep, reason, rep_id,
+                   lang_pred, quality
+            FROM dec
         """,
         "simhash_dedup": f"""
             WITH {_TOKS}, {_SIMHASH}

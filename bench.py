@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "block_filtering",
     "simhash_dedup",
     "minhash_dedup",
+    "corpus_curation",
     "knn_ivf_approx",
     "range_search_lsh",
     "er_clusters",

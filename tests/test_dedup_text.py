@@ -262,3 +262,34 @@ def test_frame_sampling(spark):
     frames = mm.sample_frames(media, every_ms=1000).collect()
     assert {r.frame_idx for r in frames} == {0, 1, 2}
     assert frames[0].frame_ref.startswith("ref://vid/1#f")
+
+
+def test_corpus_curation_all_reasons(spark):
+    from continuousfilteringbenchmark_spark.plans.curation import curate_corpus
+
+    base = "the quick brown fox and the lazy dog ran to the park in the morning with friends"
+    df = _docs(
+        spark,
+        [
+            ("1", base),                                  # keeper -> ok
+            ("2", "  " + base.upper() + " "),             # exact dup of 1
+            ("3", base + " today"),                       # minhash near-dup of 1
+            ("4", "el perro corre por la casa de la familia con los amigos por que una las"),  # lang
+            # English-detected (one 'the') but junk: few tokens, digit-heavy,
+            # mean word length out of band -> quality < 0.5
+            ("5", "the 00000000000000000000 11111111111111111111 22222222222222222222 @@@@@@@@@@"),
+        ],
+    )
+    rows = {
+        r.doc_id: r
+        for r in curate_corpus(df, allowed_langs=("en",), min_quality=0.5).collect()
+    }
+    assert len(rows) == 5
+    assert (rows["1"].keep, rows["1"].reason, rows["1"].rep_id) == (True, "ok", "1")
+    # exact dup collapses through its keeper's near-dup group rep
+    assert (rows["2"].keep, rows["2"].reason, rows["2"].rep_id) == (False, "exact_dup", "1")
+    assert (rows["3"].keep, rows["3"].reason, rows["3"].rep_id) == (False, "near_dup", "1")
+    assert (rows["4"].keep, rows["4"].reason, rows["4"].rep_id) == (False, "lang", "4")
+    assert rows["4"].lang_pred == "es"
+    assert (rows["5"].keep, rows["5"].reason, rows["5"].rep_id) == (False, "low_quality", "5")
+    assert rows["5"].quality < 0.5 <= rows["1"].quality

@@ -757,6 +757,43 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_documents(spark, sf_dir), threshold=0.7, n=5)
 
 
+def q_crossmodal_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal candidate generation over interleaved text+media docs:
+    token blocking UNION media-ref blocking -> comparison propagation (one
+    distinct pair set across both axes). The media lift here models image
+    reuse across near-duplicate pages (the common web-scale case): every doc
+    carries a media span whose ref is content-derived (md5 of the 6-word
+    title), so scraped mirrors of the same page share the image — the oracle
+    replays the ref by the same md5 and joins on it. The production
+    ``media_ref_blocking`` operator itself reads whatever refs the spans
+    carry; only this fixture lift synthesizes them."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    documents = _documents(spark, sf_dir)
+    title = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 6), " ")
+    docs = documents.select(
+        "doc_id",
+        F.lit("A").alias("side"),
+        "text",
+        F.array(
+            F.struct(
+                F.lit("title").alias("kind"),
+                title.alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("ref://img/"), F.md5(title)).alias("media_ref"),
+                F.lit(1).alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    blocks = B.standard_blocking(docs, "text").unionByName(B.media_ref_blocking(docs))
+    return B.pairs_from_blocks(blocks, clean_clean=False)
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship LLM-training-data curation job (plans/curation.py): exact
     dedup -> MinHash-LSH near-dup over the exact survivors (0.7 / 5-gram,
@@ -952,6 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosspolytope_lsh": q_crosspolytope_lsh,
         "minhash_dedup": q_minhash_dedup,
         "corpus_curation": q_corpus_curation,
+        "crossmodal_candidates": q_crossmodal_candidates,
         "simhash_dedup": q_simhash_dedup,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "knn_ivf_approx": q_knn_ivf_approx,
@@ -2243,6 +2281,24 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.gid, d.doc_id) AS group_id,
                    coalesce(cc.gid, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        """,
+        "crossmodal_candidates": f"""
+            WITH {_TOKS},
+            tp AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            ),
+            mt AS (
+              SELECT doc_id,
+                     md5(array_to_string((str_split(text, ' '))[1:6], ' ')) AS ref
+              FROM documents
+            ),
+            mp AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM mt a JOIN mt b ON a.ref = b.ref AND a.doc_id < b.doc_id
+            )
+            SELECT DISTINCT left_id, right_id
+            FROM (SELECT * FROM tp UNION ALL SELECT * FROM mp)
         """,
         "corpus_curation": f"""
             WITH RECURSIVE

@@ -54,6 +54,26 @@ def standard_blocking(docs: DataFrame, text_col: str = "text", side: str = "side
     return block_table(docs, tk.word_token_set(text_col), side)
 
 
+def media_ref_blocking(docs: DataFrame, side: str = "side") -> DataFrame:
+    """Media-axis blocking for interleaved text+media documents (north-rule
+    extension — the reference's blocking is text-only): one block per
+    ``media_ref``, so documents embedding the same media object are
+    co-blocked (the web-scale signal: scraped mirrors and reposts reuse the
+    identical image). Reads the media spans of the canonical docs shape
+    (input_hint: spans array<struct<kind,text,media_ref,offset>>).
+
+    Same block-table contract as B1 (``block_key, side, doc_id``), so
+    purging / filtering / meta-blocking / pair emission compose unchanged —
+    and a cross-modal workflow is just ``standard_blocking(...).unionByName(
+    media_ref_blocking(...))`` fed to the same pipeline.
+    """
+    keys = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media")),
+        lambda s: s["media_ref"],
+    )
+    return block_table(docs, keys, side)
+
+
 def qgrams_blocking(docs: DataFrame, q: int = 6, text_col: str = "text", side: str = "side") -> DataFrame:
     """B2 QGramsBlocking: keys = char q-grams of each token (default q=6,
     reference ``.../DefaultQGramsBlocks.java:54``)."""

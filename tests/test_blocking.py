@@ -157,3 +157,23 @@ def test_purging_threshold_grouped_histogram_matches_per_block_median():
                 thr = cards[i]
         expected = max(thr, math.floor(25.0 * float(s.median())))
         assert t == expected, (per_block, t, expected)
+
+
+def test_media_ref_blocking_crossmodal(spark):
+    """Docs sharing a media_ref are co-blocked even with disjoint text; the
+    media block table composes with pair emission unchanged."""
+    span = "kind string, text string, media_ref string, offset int"
+    docs = spark.createDataFrame(
+        [
+            ("1", "A", [("title", "alpha beta", None, 0), ("media", None, "ref://img/X", 1)]),
+            ("2", "A", [("title", "gamma delta", None, 0), ("media", None, "ref://img/X", 1)]),
+            ("3", "A", [("title", "epsilon zeta", None, 0), ("media", None, "ref://img/Y", 1)]),
+            ("4", "A", [("title", "eta theta", None, 0)]),  # no media span
+        ],
+        f"doc_id string, side string, spans array<struct<{span}>>",
+    )
+    bt = B.media_ref_blocking(docs)
+    got = {(r.block_key, r.doc_id) for r in bt.collect()}
+    assert got == {("ref://img/X", "1"), ("ref://img/X", "2"), ("ref://img/Y", "3")}
+    pairs = B.pairs_from_blocks(bt, clean_clean=False).collect()
+    assert {(r.left_id, r.right_id) for r in pairs} == {("1", "2")}

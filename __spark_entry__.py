@@ -757,6 +757,67 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_duplicates(_documents(spark, sf_dir), threshold=0.7, n=5)
 
 
+def q_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window ingest stats (streaming/windows.py):
+    the corpus replayed as three arrival-ordered micro-batches (event time
+    = fixed epoch + doc_id seconds, so arrival order == event order and
+    nothing is late) plus two far-future sentinel batches that advance the
+    watermark past every data window — append mode then emits each data
+    window exactly once, closed and immutable. The DuckDB oracle replays
+    the same tumbling-bucket arithmetic over the whole table (streaming ==
+    batch under no-late-data — the invariant incremental_blocking certifies
+    for blocking; the late-DROP side of the watermark contract is certified
+    by tests/test_streaming_stateful.py)."""
+    import glob
+    import shutil
+
+    from continuousfilteringbenchmark_spark.streaming.windows import (
+        run_windowed_ingest,
+    )
+
+    BASE = 1767225600  # 2026-01-01T00:00:00Z; % 300 == 0 so windows align
+    work = _stream_work_dir("cfb_windows", sf_dir)
+    input_dir = os.path.join(work, "in")
+    os.makedirs(input_dir)
+    schema = "event_time timestamp, text string"
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(BASE) + F.col("doc_id")).alias("event_time"),
+        "text",
+    )
+    mx = docs.agg(F.max("doc_id")).first()[0]
+
+    def write_file(df: DataFrame, i: int) -> None:
+        stage = os.path.join(work, f"_stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"b{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+        shutil.rmtree(stage)
+
+    bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        chunk = docs
+        if lo is not None:
+            chunk = chunk.where(F.col("doc_id") > lo)
+        if hi is not None:
+            chunk = chunk.where(F.col("doc_id") <= hi)
+        write_file(chunk.select("event_time", "text"), i)
+    for j, off in enumerate((10**8, 2 * 10**8), start=4):
+        write_file(
+            spark.sql(
+                f"SELECT timestamp_seconds({BASE + off}) AS event_time, "
+                "'sentinel' AS text"
+            ),
+            j,
+        )
+    out = run_windowed_ingest(spark, input_dir, work, schema)
+    # sentinel windows may also close (final no-data batch); only the data
+    # windows are the query's contract
+    return out.where(F.col("window_start") <= BASE + mx)
+
+
 def q_crossmodal_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal candidate generation over interleaved text+media docs:
     token blocking UNION media-ref blocking -> comparison propagation (one
@@ -990,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "corpus_curation": q_corpus_curation,
         "crossmodal_candidates": q_crossmodal_candidates,
+        "windowed_ingest": q_windowed_ingest,
         "simhash_dedup": q_simhash_dedup,
         "knn_ivf_embeddings": q_knn_ivf_embeddings,
         "knn_ivf_approx": q_knn_ivf_approx,
@@ -2281,6 +2343,21 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(cc.gid, d.doc_id) AS group_id,
                    coalesce(cc.gid, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        """,
+        "windowed_ingest": f"""
+            WITH {_PROFILE},
+            ev AS (
+              SELECT ((1767225600 + doc_id) // 300) * 300 AS window_start,
+                     lang_pred, length(text) AS n_chars
+              FROM lang
+            )
+            SELECT window_start,
+                   window_start + 300 AS window_end,
+                   count(*) AS n_docs,
+                   CAST(sum(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_en,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM ev GROUP BY window_start
         """,
         "crossmodal_candidates": f"""
             WITH {_TOKS},

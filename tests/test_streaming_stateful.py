@@ -124,3 +124,88 @@ def test_dedup_group_udf_tiebreak_and_chunks():
     # state keeper is sticky: an even-smaller later id is still a duplicate
     assert st._v == ("a1", 3)
     assert list(zip(out2.doc_id, out2.keep, out2.keep_id)) == [("a0", False, "a1")]
+
+
+# ---------------------------------------------------------------- windows
+
+
+def _write_stream_file(spark, rows, schema, input_dir, i):
+    """One parquet FILE per micro-batch, mtime-ordered (the file source with
+    maxFilesPerTrigger=1 + latestFirst=false replays oldest-mtime first)."""
+    import glob
+    import os
+    import shutil
+
+    stage = os.path.join(str(input_dir), f"_stage{i}")
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    dst = os.path.join(str(input_dir), f"b{i:03d}.parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    shutil.rmtree(stage)
+
+
+def test_windowed_ingest_watermark_drops_late_rows(spark, tmp_path):
+    """Watermark contract end-to-end: a row arriving after the watermark
+    passed its window is DROPPED (the emitted window equals the batch agg
+    over the on-time rows only), and every closed window is emitted exactly
+    once in append mode."""
+    import os
+    from datetime import datetime, timedelta
+
+    from continuousfilteringbenchmark_spark.streaming.windows import (
+        run_windowed_ingest,
+        windowed_ingest_stats,
+    )
+
+    base = datetime(2026, 1, 1, 10, 0, 0)
+    t = lambda m: base + timedelta(minutes=m)  # noqa: E731
+    schema = "event_time timestamp, text string"
+    input_dir = tmp_path / "in"
+    os.makedirs(input_dir)
+    # batch 1: two docs in [10:00,10:05), one in [10:05,10:10); max 10:09
+    _write_stream_file(spark, [(t(1), "the fox"), (t(2), "the dog"), (t(9), "the cat")],
+                       schema, input_dir, 1)
+    # batch 2 runs with watermark 10:09 - 2min = 10:07: it EVICTS+EMITS the
+    # [10:00,10:05) window (end 10:05 <= 10:07) and advances max to 10:20
+    _write_stream_file(spark, [(t(20), "flush one the")], schema, input_dir, 2)
+    # batch 3: a 10:01 arrival AFTER its window was finalized in batch 2 —
+    # the late-data contract requires it be DROPPED, not re-opened (a
+    # re-open would append a second [10:00,10:05) output row in a later
+    # batch, which the exactly-once assertion below would catch). Note the
+    # finalize-then-drop order matters: a row late by the current watermark
+    # whose window is evicted in the SAME batch still counts (state-eviction
+    # semantics), which is why this file arrives one batch later.
+    _write_stream_file(spark, [(t(1), "late the row")], schema, input_dir, 3)
+    # two far-future sentinels: the first advances event-time max, the
+    # second's batch runs with that watermark and flushes all data windows
+    _write_stream_file(spark, [(t(60), "s1")], schema, input_dir, 4)
+    _write_stream_file(spark, [(t(90), "s2")], schema, input_dir, 5)
+
+    out = run_windowed_ingest(
+        spark, str(input_dir), str(tmp_path / "work"), schema,
+        window_duration="5 minutes", watermark_delay="2 minutes",
+    )
+    cutoff = int(t(30).timestamp())
+    rows = out.where(F.col("window_start") < cutoff).collect()
+    # exactly-once: one output row per closed window (a late-row re-open
+    # would have appended a duplicate [10:00,10:05) row)
+    assert len(rows) == len({r.window_start for r in rows})
+    got = {r.window_start: (r.n_docs, r.n_en, r.sum_chars) for r in rows}
+    w = lambda m: int(t(m).timestamp())  # noqa: E731
+    # [10:00,10:05) has n_docs=2 — the late 10:01 row is NOT counted
+    assert got == {
+        w(0): (2, 2, 14),
+        w(5): (1, 1, 7),
+        w(20): (1, 1, 13),
+    }
+    # parity: streaming output == the batch agg over the on-time rows
+    on_time = spark.createDataFrame(
+        [(t(1), "the fox"), (t(2), "the dog"), (t(9), "the cat"), (t(20), "flush one the")],
+        schema,
+    )
+    batch = {
+        r.window_start: (r.n_docs, r.n_en, r.sum_chars)
+        for r in windowed_ingest_stats(on_time).collect()
+    }
+    assert batch == got

@@ -639,6 +639,46 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_continuous_er(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous ER end-to-end (streaming/continuous.py): the corpus
+    replayed as three arrival-ordered micro-batches; per epoch, incremental
+    blocking (new x new + new x accumulated postings on shared word tokens)
+    -> exact Jaccard >= 0.5 -> incremental cluster maintenance (new match
+    edges rep-mapped onto the running assignment, connected components on
+    the reduced rep graph only). The oracle is the BATCH chain over the
+    whole table — co-token pairs -> Jaccard >= 0.5 -> transitive closure,
+    min-id clusters with singletons — proving the streaming assignment
+    converges to exactly what a from-scratch batch run would produce."""
+    import glob
+    import shutil
+
+    from continuousfilteringbenchmark_spark.datamodel import documents_to_docs
+    from continuousfilteringbenchmark_spark.streaming.continuous import (
+        run_continuous_er,
+    )
+
+    work = _stream_work_dir("continuous_er", sf_dir)
+    input_dir = os.path.join(work, "in")
+    os.makedirs(input_dir)
+    docs = documents_to_docs(_documents(spark, sf_dir))
+    mx = _documents(spark, sf_dir).agg(F.max("doc_id")).first()[0] or 0
+    bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
+    for i, (lo, hi) in enumerate(bounds, start=1):
+        chunk = docs.withColumn("_id", F.col("doc_id").cast("long"))
+        if lo is not None:
+            chunk = chunk.where(F.col("_id") > lo)
+        if hi is not None:
+            chunk = chunk.where(F.col("_id") <= hi)
+        stage = os.path.join(work, f"_stage{i}")
+        chunk.drop("_id").coalesce(1).write.mode("overwrite").parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"b{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+        shutil.rmtree(stage)
+    return run_continuous_er(spark, input_dir, f"{work}/run", threshold=0.5)
+
+
 def q_jedai_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B18 the JedAI default workflow, composed end-to-end: StandardBlocking
     -> ComparisonsBasedBlockPurging -> BlockFiltering(0.5) -> CNP with the
@@ -1041,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_based_ejoin": q_schema_based_ejoin,
         "incremental_blocking": q_incremental_blocking,
         "streaming_dedup": q_streaming_dedup,
+        "continuous_er": q_continuous_er,
         "range_search_lsh": q_range_search_lsh,
         "range_search_multiprobe": q_range_search_multiprobe,
         "jedai_workflow": q_jedai_workflow,
@@ -1559,6 +1600,38 @@ def oracle_sql() -> dict[str, str]:
                    min(CAST(doc_id AS VARCHAR))
                      OVER (PARTITION BY md5(lower(trim(text)))) AS keep_id
             FROM documents
+        """,
+        # continuous ER: streaming ingest + incremental cluster maintenance
+        # must converge to the batch chain — all co-token pairs -> exact
+        # Jaccard >= 0.5 -> transitive closure, min-id clusters, singletons
+        "continuous_er": f"""
+            WITH RECURSIVE {_TOKS},
+            common AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            matches AS (
+              SELECT c.left_id, c.right_id
+              FROM common c
+              JOIN tsz l ON l.doc_id = c.left_id
+              JOIN tsz r ON r.doc_id = c.right_id
+              WHERE CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) >= 0.5
+            ),
+            sym AS (
+              SELECT left_id AS src, right_id AS dst FROM matches
+              UNION ALL
+              SELECT right_id, left_id FROM matches
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+            SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
         """,
         "token_blocks": f"""
             WITH {_TOKS}

@@ -167,3 +167,65 @@ def test_connected_components_matches_union_find(spark, edges):
     # representative = lexicographic min member (deterministic contract)
     for rep, members in got.items():
         assert rep == min(members)
+
+
+# ------------------------------------------- incremental cluster maintenance
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    n_batches=st.integers(1, 4),
+)
+def test_incremental_cc_merge_folds_to_batch_cc(spark, edges, n_batches):
+    """Folding any edge stream batch-by-batch through incremental_cc_merge
+    (nodes entering as singletons with their first edge) ends at exactly the
+    batch connected components of the full edge set — the invariant
+    continuous ER relies on, against a union-find oracle."""
+    from continuousfilteringbenchmark_spark.streaming.continuous import (
+        incremental_cc_merge,
+    )
+
+    parent = list(range(15))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    comp = {}
+    for n in sorted({v for e in edges for v in e}):
+        comp.setdefault(find(n), []).append(n)
+    oracle = {min(grp): set(grp) for grp in comp.values()}
+
+    assign = spark.createDataFrame([], "doc_id long, cluster_id long")
+    known: set[int] = set()
+    k = max(1, -(-len(edges) // n_batches))  # ceil split
+    for i in range(0, len(edges), k):
+        batch = edges[i : i + k]
+        fresh = sorted({v for e in batch for v in e} - known)
+        known.update(fresh)
+        if fresh:
+            assign = assign.union(
+                spark.createDataFrame(
+                    [(v, v) for v in fresh], "doc_id long, cluster_id long"
+                )
+            )
+        bdf = spark.createDataFrame(batch, "left_id long, right_id long")
+        assign = incremental_cc_merge(assign, bdf.distinct())
+        # keep the lineage short across folds (what the epoch sink does on disk)
+        assign = assign.localCheckpoint(eager=True)
+
+    got = {}
+    for r in assign.collect():
+        got.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert {m: s for m, s in got.items()} == oracle

@@ -68,3 +68,44 @@ def test_run_pipeline_reference_config(spark, tmp_path):
     g = {(r.left_id, r.right_id) for r in got.collect()}
     w = {(r.left_id, r.right_id) for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_run_continuous_cli_and_restart(spark, tmp_path):
+    """scripts/run_continuous.py: streamed epochs produce the batch-equal
+    assignment; restarting with the same args (no new files) is a no-op that
+    reports the same summary from the committed epochs."""
+    import glob
+    import shutil
+
+    import run_continuous
+    from continuousfilteringbenchmark_spark.datamodel import documents_to_docs
+    from pyspark.sql import functions as F
+
+    flat = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "unique first text here"),
+        (10, "red green blue yellow"),
+        (11, "alpha beta gamma delta epsilon"),
+    ]
+    docs = documents_to_docs(spark.createDataFrame(flat, "doc_id long, text string"))
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    for i, ids in enumerate([[1, 2, 3], [10, 11]], start=1):
+        stage = str(tmp_path / f"_s{i}")
+        docs.where(F.col("doc_id").cast("long").isin(ids)).coalesce(1).write.parquet(stage)
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(input_dir, f"b{i:03d}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (1_000_000_000 + i,) * 2)
+
+    work = str(tmp_path / "work")
+    argv = ["--input", input_dir, "--work", work, "--threshold", "0.5"]
+    s1 = run_continuous.main(argv, spark=spark)
+    # {1,2,11} cluster together, {3} and {10} are singletons
+    assert s1["docs"] == 5 and s1["clusters"] == 3
+
+    s2 = run_continuous.main(argv, spark=spark)
+    assert {k: s2[k] for k in ("docs", "clusters")} == {
+        k: s1[k] for k in ("docs", "clusters")
+    }

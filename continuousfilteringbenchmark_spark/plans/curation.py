@@ -62,11 +62,17 @@ def curate_corpus(
     Output: (doc_id, keep boolean, reason string, rep_id, lang_pred,
             quality) — exactly one row per input doc.
     """
-    ex = exact_duplicates(docs, text_col=text_col, id_col=id_col)
+    # ex feeds both the survivor semi-join and the final rep chain; surv
+    # feeds minhash banding AND the assignment node set — persist both for
+    # the session (freed by session.clear_session_caches, the same contract
+    # as the other reused pipeline stages)
+    ex = exact_duplicates(docs, text_col=text_col, id_col=id_col).persist()
     keepers = ex.where(F.col("doc_id") == F.col("keep_id")).select("doc_id")
-    surv = docs.select(
-        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
-    ).join(keepers, "doc_id")
+    surv = (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .join(keepers, "doc_id")
+        .persist()
+    )
 
     # near-dup stage over the exact survivors only. Banding is per-doc, so
     # restricting the input set only removes pairs with a dropped endpoint —

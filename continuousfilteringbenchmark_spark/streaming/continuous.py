@@ -106,6 +106,7 @@ def run_continuous_er(
     threshold: float = 0.5,
     max_files_per_trigger: int = 1,
     numeric_ids: bool = True,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Drive a docs-parquet directory through continuous ER, one file per
     micro-batch, and return the final (doc_id, cluster_id) assignment.
@@ -116,6 +117,19 @@ def run_continuous_er(
     sets; fold the resulting match edges into the running assignment via
     ``incremental_cc_merge``; extend the posting index. All writes are
     epoch-addressed overwrites (idempotent under micro-batch replay).
+
+    ``max_block_size`` is the streaming analogue of B6 block purging
+    (``operators/blocking.py`` ComparisonsBasedBlockPurging, reference
+    ``blockingWorkflows/src/...``): tokens whose CUMULATIVE posting count
+    exceeds the cap are excluded from candidate generation for that epoch
+    (Jaccard verification still uses full token sets, so scores of the
+    pairs that ARE generated never change). Without it, one stopword-like
+    token shared by k docs costs O(k^2) candidate rows per epoch — at web
+    scale an uncapped hot block is the quadratic blow-up the batch chain
+    avoids via purging. Capping is recall-affecting: pairs reachable ONLY
+    through a hot token are skipped, so the streaming == batch invariant
+    holds exactly only when the cap is None (the oracle path) or larger
+    than every block.
 
     Local smoke path uses the file source + ``availableNow`` (synchronous);
     production swaps the source for Kafka and the epoch sinks for Iceberg
@@ -144,6 +158,7 @@ def run_continuous_er(
                 "doc_id", F.col("doc_id").cast("long")
             )
         batch_docs = batch_docs.persist()
+        toks_new = None
         try:
             prev = [(e, p) for e, p in _epoch_dirs(assign_base) if e < epoch_id]
             if prev:
@@ -178,7 +193,22 @@ def run_continuous_er(
                 toks_old = None
                 all_toks = toks_new
 
-            l, r = toks_new.alias("l"), toks_new.alias("r")
+            # candidate-generation views: hot blocks (cumulative posting
+            # count > cap) are purged from the join keys only — the full
+            # posting index still backs sizes/common for exact Jaccard
+            cand_new, cand_old = toks_new, toks_old
+            if max_block_size is not None:
+                hot = (
+                    all_toks.groupBy("tok")
+                    .agg(F.count(F.lit(1)).alias("_bs"))
+                    .where(F.col("_bs") > int(max_block_size))
+                    .select("tok")
+                )
+                cand_new = toks_new.join(hot, "tok", "left_anti")
+                if toks_old is not None:
+                    cand_old = toks_old.join(hot, "tok", "left_anti")
+
+            l, r = cand_new.alias("l"), cand_new.alias("r")
             cands = (
                 l.join(r, "tok")
                 .where(F.col("l.doc_id") < F.col("r.doc_id"))
@@ -189,8 +219,8 @@ def run_continuous_er(
             )
             if toks_old is not None:
                 new_old = (
-                    toks_new.join(
-                        toks_old.withColumnRenamed("doc_id", "old_id"), "tok"
+                    cand_new.join(
+                        cand_old.withColumnRenamed("doc_id", "old_id"), "tok"
                     )
                     .where(F.col("doc_id") != F.col("old_id"))
                     .select(
@@ -245,6 +275,8 @@ def run_continuous_er(
             )
         finally:
             batch_docs.unpersist()
+            if toks_new is not None:
+                toks_new.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(process_batch)

@@ -36,6 +36,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--work", required=True, help="state root: postings, assignment epochs, checkpoint")
     p.add_argument("--threshold", type=float, default=0.5, help="exact Jaccard match threshold")
     p.add_argument("--max-files-per-trigger", type=int, default=1)
+    p.add_argument("--max-block-size", type=int, default=None,
+                   help="purge tokens whose cumulative posting count exceeds "
+                        "this from candidate generation (streaming analogue "
+                        "of B6 block purging; recall-affecting). Default: "
+                        "uncapped, exact batch equivalence")
     p.add_argument("--string-ids", action="store_true",
                    help="doc ids are arbitrary strings (min-id clusters use the "
                         "lexicographic order); default expects numeric ids")
@@ -58,6 +63,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         threshold=args.threshold,
         max_files_per_trigger=args.max_files_per_trigger,
         numeric_ids=not args.string_ids,
+        max_block_size=args.max_block_size,
     )
     summary = {
         "docs": assign.count(),

@@ -141,3 +141,42 @@ def test_continuous_er_empty_input(spark, tmp_path):
     got = run_continuous_er(spark, input_dir, str(tmp_path / "run"))
     assert got.count() == 0
     assert got.columns == ["doc_id", "cluster_id"]
+
+
+# hot-block purge corpus: docs 1/2 share rare tokens (alpha beta gamma) AND
+# the hot token; docs 5/6 are identical single-token docs whose ONLY token
+# is the hot one ("common" appears in all four docs -> block size 4).
+HOT = [
+    (1, "common alpha beta gamma"),
+    (5, "common"),
+    (2, "common alpha beta gamma"),
+    (6, "common"),
+]
+HOT_EPOCHS = [[1, 5], [2, 6]]
+
+
+def test_continuous_er_max_block_size_purges_hot_token(spark, tmp_path):
+    """With the cap, pairs reachable only through a hot token are skipped
+    (5-6 stay singletons); pairs that also share rare tokens still match
+    (1-2 merge), and their Jaccard uses the FULL token sets."""
+    docs = documents_to_docs(spark.createDataFrame(HOT, "doc_id long, text string"))
+    input_dir = _write_epochs(spark, docs, str(tmp_path), HOT_EPOCHS)
+    got_df = run_continuous_er(
+        spark, input_dir, str(tmp_path / "run"), threshold=0.5, max_block_size=3
+    )
+    got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
+    # at epoch 2 the cumulative "common" block has 4 postings > cap 3, so
+    # 2-6 and the 5-6 closure are never generated; 1-2 match via alpha/
+    # beta/gamma with exact J=1 over full sets
+    assert got == {(1, 1), (2, 1), (5, 5), (6, 6)}
+
+
+def test_continuous_er_uncapped_equals_batch_on_hot_corpus(spark, tmp_path):
+    """Without the cap the streaming == batch invariant holds on the same
+    corpus (5-6 merge via the hot token, J=1)."""
+    docs = documents_to_docs(spark.createDataFrame(HOT, "doc_id long, text string"))
+    input_dir = _write_epochs(spark, docs, str(tmp_path), HOT_EPOCHS)
+    got_df = run_continuous_er(spark, input_dir, str(tmp_path / "run"), threshold=0.5)
+    got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
+    assert got == _batch_expected(spark, HOT)
+    assert dict(got)[6] == 5

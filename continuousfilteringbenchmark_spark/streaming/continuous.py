@@ -20,7 +20,9 @@ only through their representatives, so map each edge endpoint to its
 current cluster_id, run connected components on THAT graph (its node set
 is bounded by 2x the new-edge count — tiny relative to the corpus), and
 compose the resulting rep -> new-rep relabeling back onto the assignment
-with one equi-join. Correctness of the min-id convention is preserved
+with one equi-join. Posting-index reads are bounded by epoch compaction
+(``compact_every``) and hot blocks by ``max_block_size`` — see
+``run_continuous_er``. Correctness of the min-id convention is preserved
 because every existing cluster_id is already the minimum of its component:
 the minimum over a union of old components (+ new singleton ids) equals
 the minimum over their representatives.
@@ -99,6 +101,25 @@ def _epoch_dirs(base: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+_CUMULATIVE_MARKER = "_CUMULATIVE"
+
+
+def _posting_dirs(base: str, epoch_id: int) -> list[str]:
+    """Posting dirs a batch at ``epoch_id`` must read: the newest CUMULATIVE
+    epoch (one that compacted the whole index up to itself) subsumes every
+    dir at or before it, so only it plus later incrementals are read. The
+    marker file is written AFTER the parquet commit; a crash in between
+    leaves the batch uncommitted in the streaming checkpoint, so replay
+    overwrites the dir and re-creates the marker (same idempotence
+    discipline as the data writes)."""
+    dirs = [(e, p) for e, p in _epoch_dirs(base) if e < epoch_id]
+    cum = [e for e, p in dirs if os.path.exists(os.path.join(p, _CUMULATIVE_MARKER))]
+    if not cum:
+        return [p for _, p in dirs]
+    newest = max(cum)
+    return [p for e, p in dirs if e >= newest]
+
+
 def run_continuous_er(
     spark: SparkSession,
     input_dir: str,
@@ -107,6 +128,7 @@ def run_continuous_er(
     max_files_per_trigger: int = 1,
     numeric_ids: bool = True,
     max_block_size: int | None = None,
+    compact_every: int | None = 16,
 ) -> DataFrame:
     """Drive a docs-parquet directory through continuous ER, one file per
     micro-batch, and return the final (doc_id, cluster_id) assignment.
@@ -130,6 +152,17 @@ def run_continuous_er(
     through a hot token are skipped, so the streaming == batch invariant
     holds exactly only when the cap is None (the oracle path) or larger
     than every block.
+
+    ``compact_every`` bounds the posting-index read fan-in: once a batch
+    would read that many epoch dirs, it writes the UNION of the index into
+    its own epoch dir and marks it cumulative, after which readers touch
+    only that dir plus later incrementals. Without compaction a
+    long-running stream reads O(epochs) directories per batch (file-listing
+    and small-file overhead that grows without bound); with it the fan-in
+    is <= compact_every forever. Pure storage-layout change — candidate
+    generation, scores and clusters are identical (tested). In production
+    the same role is played by Iceberg table maintenance (rewrite_data_files)
+    on the postings table.
 
     Local smoke path uses the file source + ``availableNow`` (synchronous);
     production swaps the source for Kafka and the epoch sinks for Iceberg
@@ -185,7 +218,7 @@ def run_continuous_er(
                 .where(F.col("tok") != "")
                 .persist()
             )
-            prior = [p for e, p in _epoch_dirs(toks_base) if e < epoch_id]
+            prior = _posting_dirs(toks_base, epoch_id)
             if prior:
                 toks_old = spark.read.parquet(*prior)
                 all_toks = toks_old.union(toks_new)
@@ -270,9 +303,15 @@ def run_continuous_er(
             )
             # postings committed LAST: a replayed epoch whose crash landed
             # between the two writes recomputes from the same prior index
-            toks_new.write.mode("overwrite").parquet(
-                os.path.join(toks_base, f"e{epoch_id}")
-            )
+            toks_path = os.path.join(toks_base, f"e{epoch_id}")
+            compact = compact_every is not None and len(prior) + 1 >= compact_every
+            if compact:
+                # fold the whole index into this epoch's dir; marker after
+                # the parquet commit (see _posting_dirs for crash-safety)
+                all_toks.write.mode("overwrite").parquet(toks_path)
+                open(os.path.join(toks_path, _CUMULATIVE_MARKER), "w").close()
+            else:
+                toks_new.write.mode("overwrite").parquet(toks_path)
         finally:
             batch_docs.unpersist()
             if toks_new is not None:

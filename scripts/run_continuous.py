@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "this from candidate generation (streaming analogue "
                         "of B6 block purging; recall-affecting). Default: "
                         "uncapped, exact batch equivalence")
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="compact the posting index into one cumulative epoch "
+                        "dir whenever a batch would read this many dirs "
+                        "(bounds read fan-in; results unchanged)")
     p.add_argument("--string-ids", action="store_true",
                    help="doc ids are arbitrary strings (min-id clusters use the "
                         "lexicographic order); default expects numeric ids")
@@ -64,6 +68,7 @@ def main(argv: list[str] | None = None, spark: SparkSession | None = None) -> di
         max_files_per_trigger=args.max_files_per_trigger,
         numeric_ids=not args.string_ids,
         max_block_size=args.max_block_size,
+        compact_every=args.compact_every,
     )
     summary = {
         "docs": assign.count(),

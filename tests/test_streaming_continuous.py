@@ -180,3 +180,38 @@ def test_continuous_er_uncapped_equals_batch_on_hot_corpus(spark, tmp_path):
     got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
     assert got == _batch_expected(spark, HOT)
     assert dict(got)[6] == 5
+
+
+def test_continuous_er_compaction_preserves_results(spark, tmp_path):
+    """compact_every=2: epoch 2 folds the index into one cumulative dir and
+    epoch 3 reads only (cumulative, its own increment) — results must equal
+    the uncompacted batch chain exactly."""
+    from continuousfilteringbenchmark_spark.streaming.continuous import (
+        _CUMULATIVE_MARKER,
+        _posting_dirs,
+    )
+
+    docs = documents_to_docs(spark.createDataFrame(FLAT, "doc_id long, text string"))
+    input_dir = _write_epochs(spark, docs, str(tmp_path), EPOCHS)
+    got_df = run_continuous_er(
+        spark, input_dir, str(tmp_path / "run"), threshold=0.5, compact_every=2
+    )
+    got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
+    assert got == _batch_expected(spark, FLAT)
+    # a cumulative marker exists, and a hypothetical next epoch reads at
+    # most compact_every dirs
+    toks_base = str(tmp_path / "run" / "toks")
+    markers = glob.glob(os.path.join(toks_base, "e*", _CUMULATIVE_MARKER))
+    assert markers, "no cumulative epoch written"
+    assert len(_posting_dirs(toks_base, 10**9)) <= 2
+
+
+def test_continuous_er_compaction_with_reingest(spark, tmp_path):
+    """Duplicate-file replay composed with compaction stays idempotent."""
+    docs = documents_to_docs(spark.createDataFrame(FLAT, "doc_id long, text string"))
+    input_dir = _write_epochs(spark, docs, str(tmp_path), EPOCHS + [EPOCHS[1]])
+    got_df = run_continuous_er(
+        spark, input_dir, str(tmp_path / "run"), threshold=0.5, compact_every=2
+    )
+    got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
+    assert got == _batch_expected(spark, FLAT)

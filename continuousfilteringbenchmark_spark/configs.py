@@ -99,11 +99,25 @@ def extended_qgrams_conf_from_grid(i: int) -> tuple[int, float]:
 
 # ---------------------------------------------------------------- blocking
 # verbatim grid-id arrays per (method, level); index = dataset D1..D10.
-# bp: block purging on iff > 0. bf: BlockFiltering grid id, skipped iff <= 0
-# in the TokenBlocking/QGrams/ExtendedQGrams drivers (Suffix drivers run no
-# BlockFiltering at all -> None). bb: block-building grid id (q for qgrams,
-# combined id for suffix/extended). ws: weighting-scheme grid id.
+# bp: block purging on iff > 0. bf: BlockFiltering grid id; whether grid id
+# 0 means "apply at ratio 0.025" or "skip" follows the QUALITY-DEFINING
+# pass of each driver (the one feeding BlocksPerformance), and the drivers
+# are not uniform: the l1 QGramsBlocks and all three ExtendedQGramsBlocks
+# drivers test `0 <= bfRatio[datasetId]` (QGramsBlocks.java:78,
+# ExtendedQGramsBlocks.java:78 at every level), while TokenBlocking
+# (l{1,2,3}/TokenBlocking.java:76, off-sentinel -1) and the l2/l3
+# QGramsBlocks drivers test `0 <`. _BF_GRID0_APPLIES records the inclusive
+# (method, level) cells. Suffix drivers run no BlockFiltering at all ->
+# None. bb: block-building grid id (q for qgrams, combined id for
+# suffix/extended). ws: weighting-scheme grid id.
 # mb: comparison-cleaning algorithm enum name, verbatim.
+
+_BF_GRID0_APPLIES = {
+    ("qgrams_blocking", "L1"),
+    ("extended_qgrams_blocking", "L1"),
+    ("extended_qgrams_blocking", "L2"),
+    ("extended_qgrams_blocking", "L3"),
+}
 
 _WEP = "WEIGHTED_EDGE_PRUNING"
 _WNP = "WEIGHTED_NODE_PRUNING"
@@ -294,8 +308,10 @@ def from_reference(method: str, level: str, dataset: str) -> ReferenceBlockingCo
         kwargs["max_suffix_frequency"], kwargs["min_suffix_length"] = mf, ml
     bf = grids.get("bf")
     bf_ratio = None
-    if bf is not None and bf[d] > 0:
-        bf_ratio = bf_ratio_from_grid(bf[d])
+    if bf is not None:
+        cutoff = 0 if (method, level) in _BF_GRID0_APPLIES else 1
+        if bf[d] >= cutoff:
+            bf_ratio = bf_ratio_from_grid(bf[d])
     bp = grids.get("bp")
     return ReferenceBlockingConfig(
         dataset=dataset,

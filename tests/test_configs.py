@@ -200,3 +200,19 @@ def test_tuned_workflow_query_decodes_documented_cell():
     assert cfg.bf_ratio == 0.625
     assert cfg.weight_scheme == "JS"
     assert cfg.mb_algorithm == "RECIPROCAL_CARDINALITY_NODE_PRUNING"
+
+
+def test_bf_grid0_follows_each_drivers_quality_pass():
+    """Grid id 0: the quality-defining pass of l1/QGramsBlocks.java:78 and
+    ExtendedQGramsBlocks.java:78 (all levels) tests `0 <= bfRatio` — id 0
+    applies BlockFiltering at ratio 0.025; TokenBlocking (off-sentinel -1,
+    `0 <` at :76) and l2/l3 QGramsBlocks skip at 0."""
+    # (qgrams, L1, D1): bf id 0 -> applies at 0.025
+    assert abs(C.from_reference("qgrams_blocking", "L1", "D1").bf_ratio - 0.025) < 1e-12
+    # extended qgrams: id 0 applies at every level
+    for level, ds in [("L1", ["D1", "D4", "D8"]), ("L2", ["D1"]), ("L3", ["D1"])]:
+        for d in ds:
+            cfg = C.from_reference("extended_qgrams_blocking", level, d)
+            assert abs(cfg.bf_ratio - 0.025) < 1e-12, (level, d)
+    # token blocking: -1 sentinel means off (l1 D6)
+    assert C.from_reference("token_blocking", "L1", "D6").bf_ratio is None

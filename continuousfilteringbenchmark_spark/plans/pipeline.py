@@ -90,6 +90,11 @@ _DICT_DOC_OVERHEAD = 48  # id string + offset slot per doc, estimated
 _probe_cache: dict[tuple, dict] = {}
 _PROBE_CACHE_MAX = 64
 
+# sentinel: _score_pairs_arrow found the COLLECTED dictionary over its
+# row/byte caps (vs None = only the bitset caps failed). Distinguishes
+# "table proven too big to broadcast" from "dictionary fine, kernel not".
+_OVER_CAP = object()
+
 
 def _token_stats(hashed: DataFrame, cap: int) -> dict:
     """ONE bounded Spark job over at most ``cap + 1`` docs of the hashed
@@ -161,9 +166,12 @@ def _score_pairs_arrow(
     ``max_rows + 1`` rows and the byte cap is re-checked on the ACTUAL
     collected sizes — the probe stats that routed here are cached per plan
     and can undershoot if the underlying files grew, so the caps are
-    enforced again on ground truth. On a bust: return None when
-    ``strict=False`` (auto falls back to the jvm join), raise when
+    enforced again on ground truth. On a bust: return ``_OVER_CAP`` when
+    ``strict=False`` (auto falls back to the jvm join AND must clear any
+    broadcast hint — the table is proven over the cap), raise when
     ``strict=True`` (the caller explicitly demanded arrow under a cap).
+    A plain ``None`` return means only the bitset caps failed — the
+    dictionary itself fit, so the table is still safely broadcastable.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -185,7 +193,7 @@ def _score_pairs_arrow(
                     "table grew past the probed stats; use engine='jvm' or "
                     "broadcast_rows=None to accept an unbounded collect"
                 )
-            return None
+            return _OVER_CAP
     n_docs = len(rows)
     ids = [r[0] for r in rows]
     arrs = [np.asarray(r[1] or (), dtype=np.int64) for r in rows]
@@ -391,7 +399,12 @@ def score_pairs(
                     pairs, hashed, sim, min_score, allow_sort=False,
                     max_rows=broadcast_rows,
                 )
-                if out is not None:
+                if out is _OVER_CAP:
+                    # the probe's cached stats undershot: the actually
+                    # collected dictionary busted the caps, so the table is
+                    # proven over-cap — do NOT force-broadcast it below
+                    hint_broadcast = False
+                elif out is not None:
                     return out
     if engine == "arrow":
         return _score_pairs_arrow(

@@ -126,3 +126,46 @@ def test_score_pairs_construction_job_budget(cc_corpus, spark):
     score_pairs(pairs, tokened, "jaccard", engine="auto")
     again = n_jobs() - before
     assert again < auto_jobs, "probe result must be cached across constructions"
+
+
+def test_auto_overcap_fallback_clears_broadcast_hint(cc_corpus, monkeypatch):
+    """When the probe's cached stats undershoot and the ACTUAL collected
+    dictionary busts the caps (_OVER_CAP), auto must fall back to the jvm
+    join WITHOUT the broadcast hint — the table was just proven over-cap."""
+    import continuousfilteringbenchmark_spark.plans.pipeline as P
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.plans.pipeline import (
+        docs_with_tokens,
+        score_pairs,
+    )
+
+    tokened = docs_with_tokens(cc_corpus.docs, side_from_prefix=True)
+    blocks = B.build_blocks(tokened, B.BlockingConfig(clean_clean=True))
+    pairs = B.pairs_from_blocks(blocks, clean_clean=True)
+
+    base = {
+        (r.left_id, r.right_id, r.score)
+        for r in score_pairs(pairs, tokened, "jaccard", engine="jvm").collect()
+    }
+
+    # stale-probe scenario: cached stats say "tiny", reality busts the cap
+    score_pairs(pairs, tokened, "jaccard", engine="auto")  # populate cache
+    for stats in P._probe_cache.values():
+        stats["dict_bytes"] = 8
+        stats["v_est"] = 1
+    monkeypatch.setattr(P, "_DICT_MAX_BYTES", 16)
+
+    df = score_pairs(pairs, tokened, "jaccard", engine="auto")
+    # upstream blocking legitimately broadcast-hints its tiny key tables, so
+    # compare hint COUNTS against the plain jvm plan (hint_broadcast=False):
+    # the over-cap fallback must add ZERO hints of its own
+    jvm_df = score_pairs(pairs, tokened, "jaccard", engine="jvm")
+    n_hints = lambda d: d._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+    assert n_hints(df) == n_hints(jvm_df), (
+        "over-cap fallback must not force-broadcast the token table"
+    )
+    got = {(r.left_id, r.right_id, r.score) for r in df.collect()}
+    assert got == base
+    P._probe_cache.clear()

@@ -130,13 +130,18 @@ def connected_components(
     from pyspark.sql import Observation
 
     sc = pairs.sparkSession.sparkContext
+    restore_ckpt_dir = False
     prev_ckpt_dir = None
     if checkpoint_dir is not None:
         # remember the session's configured checkpoint dir and restore it on
         # exit — setCheckpointDir is session-global and silently clobbering
-        # the caller's directory would redirect THEIR later checkpoints
+        # the caller's directory would redirect THEIR later checkpoints.
+        # "No dir configured" is itself a state to restore: leaving ours set
+        # would point the caller's later checkpoints at OUR scratch path
+        # (which the docstring tells them to delete)
         opt = sc._jsc.sc().getCheckpointDir()
         prev_ckpt_dir = opt.get() if opt.isDefined() else None
+        restore_ckpt_dir = True
         sc.setCheckpointDir(checkpoint_dir)
 
     def _cut(df: DataFrame, tag: str, held: set[int]) -> tuple[DataFrame, tuple, set[int]]:
@@ -196,8 +201,14 @@ def connected_components(
         _unpersist_ids(sc, held)
         return assign
     finally:
-        if prev_ckpt_dir is not None:
-            sc.setCheckpointDir(prev_ckpt_dir)
+        if restore_ckpt_dir:
+            # scala setCheckpointDir(null) maps to Option(null) = None — the
+            # exact "unset" state; the python wrapper rejects None, so go
+            # through the JVM handle for that case
+            if prev_ckpt_dir is not None:
+                sc.setCheckpointDir(prev_ckpt_dir)
+            else:
+                sc._jsc.sc().setCheckpointDir(None)
 
 
 def clusters_with_singletons(

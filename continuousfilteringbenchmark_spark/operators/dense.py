@@ -316,39 +316,49 @@ def range_search(
         else:
             pairs = pairs.where(F.col("left_id") != F.col("right_id"))
     else:
-        from .lsh import hyperplane_bands, hyperplane_mean, lsh_candidates
+        from .lsh import hyperplane_bands, lsh_candidates
 
         # mean-centering needs ONE mean for both sides; the self-join case
         # centers on its own corpus, the two-table case skips centering so
         # both band tables hash in the same frame
         if self_join:
-            # the probe and base band tables hash the SAME input in the same
-            # frame: compute the centering mean (a full-scan aggregate that
-            # runs eagerly at construction) once and share it, instead of
-            # paying the scan per hyperplane_bands call
-            dim = len(queries.select(vec_col).first()[0])
-            mean_vec = hyperplane_mean(queries, dim, vec_col) if lsh_probes > 0 else None
-            bands = hyperplane_bands(
-                queries, lsh_tables, lsh_bits, dim=dim, seed=lsh_seed,
-                vec_col=vec_col, id_col=id_col, center=True, mean_vec=mean_vec,
-            )
             if lsh_probes > 0:
-                probe = hyperplane_bands(
-                    queries, lsh_tables, lsh_bits, dim=dim, seed=lsh_seed,
-                    vec_col=vec_col, id_col=id_col, center=True,
-                    n_probes=lsh_probes, mean_vec=mean_vec,
-                )
-                # probe buckets join against BASE buckets (FALCONN probes a
+                # ONE hyperplane_bands construction serves both join sides:
+                # the probe pass CONTAINS the base rows (rank = 0), so the
+                # base side is a rank filter over the same plan — the
+                # centering mean and dim probe are computed once by
+                # construction rather than shared by hand. The filter sits
+                # BELOW the join (a post-join filter would fan the join out
+                # by an extra (1 + probes) factor before discarding); Spark
+                # cannot reuse exchanges across Python-UDF subtrees, so both
+                # sides still scan — at the same per-row cost either way.
+                # Probe buckets join against BASE buckets (FALCONN probes a
                 # static index); a pair is found when either endpoint's probe
                 # sequence reaches the other's base bucket -> canonicalize
-                raw = probe.select("band", "bucket", F.col("doc_id").alias("a")).join(
-                    bands.select("band", "bucket", F.col("doc_id").alias("b")), ["band", "bucket"]
-                ).where(F.col("a") != F.col("b"))
+                probe = hyperplane_bands(
+                    queries, lsh_tables, lsh_bits, seed=lsh_seed,
+                    vec_col=vec_col, id_col=id_col, center=True,
+                    n_probes=lsh_probes,
+                )
+                npart = probe.sparkSession.sparkContext.defaultParallelism
+                l = probe.select(
+                    "band", "bucket", F.col("doc_id").alias("a")
+                ).repartition(npart, "band", "bucket")
+                r = (
+                    probe.where(F.col("rank") == 0)
+                    .select("band", "bucket", F.col("doc_id").alias("b"))
+                    .repartition(npart, "band", "bucket")
+                )
+                raw = l.join(r, ["band", "bucket"]).where(F.col("a") != F.col("b"))
                 cand = raw.select(
                     F.least("a", "b").alias("left_id"),
                     F.greatest("a", "b").alias("right_id"),
                 ).distinct()
             else:
+                bands = hyperplane_bands(
+                    queries, lsh_tables, lsh_bits, seed=lsh_seed,
+                    vec_col=vec_col, id_col=id_col, center=True,
+                )
                 cand = lsh_candidates(bands)
         else:
             qb = hyperplane_bands(

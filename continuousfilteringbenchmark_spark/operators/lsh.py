@@ -264,7 +264,10 @@ def hyperplane_bands(
     ``num_probes`` counts total probes across tables; here the knob is
     per-table extra probes (total = n_tables * (1 + n_probes)).
 
-    Output: (doc_id, band int, bucket long) — one row per (table, probe).
+    Output: (doc_id, band int, bucket long, rank int) — one row per
+    (table, probe); ``rank`` 0 = the base bucket, j >= 1 = the j-th probe.
+    A probe pass therefore CONTAINS the base table (``rank = 0`` rows),
+    so callers needing both never scan the input twice — filter instead.
     """
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
@@ -276,7 +279,11 @@ def hyperplane_bands(
 
     out_type = T.ArrayType(
         T.StructType(
-            [T.StructField("band", T.IntegerType()), T.StructField("bucket", T.LongType())]
+            [
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
         )
     )
 
@@ -295,20 +302,25 @@ def hyperplane_bands(
             proj = np.einsum("tbd,d->tb", planes, x)
             bits = (proj > 0).astype(np.int64)
             base = (bits * weights).sum(axis=1)
-            rows = [(t, int(base[t])) for t in tables]
+            rows = [(t, int(base[t]), 0) for t in tables]
             if n_probes:
                 # stable argsort on the rounded magnitudes = rank by
                 # (round(|proj|, 9) asc, bit asc) — the oracle's ORDER BY
                 order = np.argsort(np.round(np.abs(proj), 9), axis=1, kind="stable")
                 for j in range(min(n_probes, n_bits)):
                     pb = base ^ (np.int64(1) << order[:, j])
-                    rows += [(t, int(pb[t])) for t in tables]
+                    rows += [(t, int(pb[t]), j + 1) for t in tables]
             out.append(rows)
         return pd.Series(out)
 
     return vecs.select(
         F.col(id_col).alias("doc_id"), F.explode(buckets(F.col(vec_col))).alias("_bb")
-    ).select("doc_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket"))
+    ).select(
+        "doc_id",
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+        F.col("_bb.rank").alias("rank"),
+    )
 
 
 def crosspolytope_bands(

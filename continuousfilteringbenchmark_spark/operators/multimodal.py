@@ -101,6 +101,37 @@ def _pil_image_module():
         return None
 
 
+def _shippable_image_mod(backend: str):
+    """The PIL.Image handle to capture in a task closure, or None when the
+    workers must import it themselves. A real module pickles by NAME
+    reference (workers re-import it — shipping it buys nothing and a
+    missing worker-side pillow would fail at task DEserialization, before
+    any of our code runs); a non-module stand-in (test stub) pickles by
+    value and is shipped as-is so driver-side monkeypatching reaches the
+    workers."""
+    import types
+
+    if backend != "real":
+        return None
+    mod = _pil_image_module()
+    return None if isinstance(mod, types.ModuleType) else mod
+
+
+def _worker_pil(what: str):
+    """Worker-side PIL.Image import with an actionable error (called inside
+    mapInPandas when the driver resolved backend='real' from a real module)."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError as ex:
+        raise RuntimeError(
+            f"{what}: decode_backend='real' needs PIL (pillow) importable on "
+            "every executor — install pillow cluster-wide or use "
+            "decode_backend='fake'/'auto'"
+        ) from ex
+
+
 def _resolve_backend(decode_backend: str, what: str) -> str:
     """'auto' -> 'real' when PIL imports, else 'fake' (one warning)."""
     if decode_backend not in ("fake", "real", "auto"):
@@ -125,10 +156,7 @@ def _resolve_backend(decode_backend: str, what: str) -> str:
 
 def _real_features(payload: bytes, dim: int, image_mod) -> list[float] | None:
     """PIL decode -> grayscale 8x8 thumbnail -> normalized pixel vector,
-    zero-padded / truncated to ``dim``. ``image_mod`` is the PIL.Image
-    module captured DRIVER-side at plan construction and shipped in the
-    task closure — python workers are separate processes, so resolving it
-    there would bypass any driver-side configuration (and test stubs).
+    zero-padded / truncated to ``dim``.
 
     Returns ``None`` for payloads PIL cannot decode (corrupt bytes,
     non-image blobs) instead of failing the task: at corpus scale a single
@@ -161,10 +189,16 @@ def extract_features(
     backend, feature is NULL for payloads PIL cannot decode.
     Batch shape: whole Arrow record batches stream through; payload bytes
     never materialize on the driver. Backend resolution (PIL probe /
-    fallback warning) happens once, driver-side, at plan construction.
+    fallback warning) happens once, driver-side, at plan construction —
+    but the real PIL MODULE cannot ride the task closure (cloudpickle
+    serializes modules by import-name reference), so with backend='real'
+    each python worker re-imports PIL locally; executors without pillow
+    get a RuntimeError naming the fix rather than an opaque
+    deserialization failure. Non-module stands-ins (test stubs) pickle by
+    value and are shipped as-is.
     """
     backend = _resolve_backend(decode_backend, "extract_features")
-    image_mod = _pil_image_module() if backend == "real" else None
+    image_mod = _shippable_image_mod(backend)
 
     out_schema = T.StructType(
         [
@@ -176,7 +210,8 @@ def extract_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if backend == "real":
-            decode = lambda p, d: _real_features(p, d, image_mod)  # noqa: E731
+            mod = image_mod if image_mod is not None else _worker_pil("extract_features")
+            decode = lambda p, d: _real_features(p, d, mod)  # noqa: E731
         else:
             decode = _fake_features
         for pdf in it:
@@ -197,11 +232,12 @@ def resize_images(media: DataFrame, width: int, height: int, decode_backend: str
     mapInPandas batch; the fake backend rewrites the metadata only."""
     backend = _resolve_backend(decode_backend, "resize_images")
     if backend == "real":
-        image_mod = _pil_image_module()  # captured driver-side (see _real_features)
+        shipped = _shippable_image_mod(backend)  # stub by value, module by worker import
 
         def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import io
 
+            image_mod = shipped if shipped is not None else _worker_pil("resize_images")
             for pdf in it:
                 out, widths, heights = [], [], []
                 for p, w0, h0 in zip(pdf["payload"], pdf["width"], pdf["height"]):

@@ -99,10 +99,20 @@ _OVER_CAP = object()
 def _token_stats(hashed: DataFrame, cap: int) -> dict:
     """ONE bounded Spark job over at most ``cap + 1`` docs of the hashed
     token table: doc count (bounded), total token count, approximate
-    vocabulary. Cached per (session, plan) so re-constructions are free."""
+    vocabulary. Cached per (session, plan, input-file set) so
+    re-constructions are free: the file-set component means the common
+    growth mode — new files appended under the same path, identical plan —
+    re-probes instead of serving stale (undershooting) stats. In-place file
+    rewrites still alias to the old entry; the arrow path re-checks its
+    caps on the actual collect regardless (``_OVER_CAP``)."""
+    try:
+        files_sig = hash(tuple(sorted(hashed.inputFiles())))
+    except Exception:
+        files_sig = 0
     key = (
         hashed.sparkSession.sparkContext.applicationId,
         hashed.semanticHash(),
+        files_sig,
         cap,
     )
     hit = _probe_cache.get(key)
@@ -346,12 +356,16 @@ def score_pairs(
 
     * ``engine='jvm'`` — ZERO jobs; broadcast-vs-shuffle is left to AQE's
       runtime statistics (the session enables adaptive execution).
-    * ``engine='auto'`` / ``engine='arrow'`` with a cap — ONE job, bounded
-      to ``broadcast_rows + 1`` docs, computing (doc count, token count,
+    * ``engine='auto'`` with a cap — ONE job, bounded to
+      ``broadcast_rows + 1`` docs, computing (doc count, token count,
       approx vocabulary) in a single pass; cached per (session, token-table
       plan), so repeated constructions over the same table probe once.
       Auto additionally collects the dictionary when it picks arrow (that
       collect is the point of the arrow engine).
+    * ``engine='arrow'`` with a cap — ZERO probe jobs: the dictionary
+      collect is itself bounded to ``broadcast_rows + 1`` rows and raises
+      on the ground-truth row/byte caps (strict mode) — a separate probe
+      would be a duplicated scan answering the same question.
     * ``engine='arrow'`` with ``broadcast_rows=None`` — caller accepts an
       unbounded driver collect (no probe, no caps).
 
@@ -366,20 +380,10 @@ def score_pairs(
     hashed = tokened.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
 
     hint_broadcast = False
-    if engine == "arrow" and broadcast_rows is not None:
-        stats = _token_stats(hashed, broadcast_rows)
-        if stats["n_docs"] > broadcast_rows:
-            raise ValueError(
-                "engine='arrow' needs the token table under broadcast_rows "
-                f"({broadcast_rows}); use engine='jvm' beyond the cap, or "
-                "broadcast_rows=None to accept an unbounded collect"
-            )
-        if stats["dict_bytes"] > _DICT_MAX_BYTES:
-            raise ValueError(
-                f"engine='arrow' dictionary would be ~{stats['dict_bytes']} bytes "
-                f"(cap {_DICT_MAX_BYTES}); use engine='jvm', or broadcast_rows="
-                "None to accept the collect anyway"
-            )
+    # explicit engine='arrow' with a cap needs NO separate probe job: the
+    # dictionary collect below is itself bounded to max_rows + 1 and
+    # strict=True raises on the ground-truth row/byte caps — a probe here
+    # would be a duplicated scan answering the same question
     if engine == "auto":
         engine = "jvm"
         if broadcast_rows is not None:

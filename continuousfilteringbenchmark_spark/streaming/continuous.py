@@ -190,7 +190,11 @@ def run_continuous_er(
             batch_docs = batch_docs.withColumn(
                 "doc_id", F.col("doc_id").cast("long")
             )
-        batch_docs = batch_docs.persist()
+        # keep the persisted handle separate: batch_docs is reassigned to
+        # derived plans below, and unpersist() on a DERIVED frame would not
+        # release the base's cache entry (per-epoch leak in a long stream)
+        pinned = batch_docs.persist()
+        batch_docs = pinned
         toks_new = None
         try:
             prev = [(e, p) for e, p in _epoch_dirs(assign_base) if e < epoch_id]
@@ -203,7 +207,11 @@ def run_continuous_er(
                 )
             # re-ingested doc_ids are no-ops (their postings and assignment
             # already exist — re-tokenizing them would double their posting
-            # rows and corrupt Jaccard sizes); only genuinely new ids enter
+            # rows and corrupt Jaccard sizes); only genuinely new ids enter.
+            # The guard must also hold WITHIN one micro-batch: with
+            # max_files_per_trigger > 1 the same doc_id can arrive twice in
+            # one trigger, and a semi-join alone would keep both rows
+            batch_docs = batch_docs.dropDuplicates(["doc_id"])
             new_ids = (
                 batch_docs.select("doc_id")
                 .distinct()
@@ -313,7 +321,7 @@ def run_continuous_er(
             else:
                 toks_new.write.mode("overwrite").parquet(toks_path)
         finally:
-            batch_docs.unpersist()
+            pinned.unpersist()
             if toks_new is not None:
                 toks_new.unpersist()
 

@@ -74,8 +74,17 @@ def _dedup_group(
     content_hash = key[0]
     keep_id, n_seen = state.get if state.exists else (None, 0)
     # concatenate the group's chunks: the min-id tie-break is over the WHOLE
-    # micro-batch slice (groups are per-content-hash — a handful of rows)
-    batch = pd.concat(list(pdfs), ignore_index=True)
+    # micro-batch slice (groups are per-content-hash — a handful of rows).
+    # The chunk iterator is EMPTY when Spark invokes the function for a
+    # timed-out key (no data this batch) — unreachable under NoTimeout, but
+    # the event-time-timeout deployment the module docstring recommends
+    # hits it every batch, and pd.concat([]) raises
+    chunks = list(pdfs)
+    batch = (
+        pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame({"doc_id": pd.Series([], dtype=object)})
+    )
     if not batch.empty:
         ids = batch["doc_id"]
         first_batch = n_seen == 0

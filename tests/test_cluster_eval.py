@@ -129,3 +129,23 @@ def test_cc_restores_session_checkpoint_dir(spark, tmp_path):
     # spark normalizes to a URI and creates a random child dir; the caller's
     # path must still be the prefix
     assert caller_dir in opt.get()
+
+
+def test_cc_restores_unset_checkpoint_dir(spark, tmp_path):
+    """When the caller had NO checkpoint dir configured, the CC scratch dir
+    must not stay behind as the session's directory — the docstring tells
+    callers to delete the scratch path after consuming the result, and a
+    leaked setting would point their later checkpoints at a deleted dir."""
+    sc = spark.sparkContext
+    opt0 = sc._jsc.sc().getCheckpointDir()
+    saved = opt0.get() if opt0.isDefined() else None
+    sc._jsc.sc().setCheckpointDir(None)  # the unset state under test
+    try:
+        connected_components(
+            _pairs(spark, [("a", "b"), ("b", "c")]),
+            checkpoint_dir=str(tmp_path / "cc_scratch2"),
+        ).collect()
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    finally:
+        if saved is not None:
+            sc._jsc.sc().setCheckpointDir(saved)

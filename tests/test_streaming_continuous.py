@@ -215,3 +215,27 @@ def test_continuous_er_compaction_with_reingest(spark, tmp_path):
     )
     got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
     assert got == _batch_expected(spark, FLAT)
+
+
+def test_continuous_er_within_batch_duplicates(spark, tmp_path):
+    """The re-ingest guard must hold WITHIN one micro-batch too: with
+    max_files_per_trigger=2, the same doc_id arriving in two files of one
+    trigger must enter once. Doubled postings only ever RAISE Jaccard
+    (2c/(2s_a+s_b-2c) > c/(s_a+s_b-c)), so the adversarial pair sits just
+    under the threshold: J(1,2) = 2/6 = 0.33 < 0.5 honestly, but 0.5 with
+    doc 1's rows doubled — a false merge."""
+    dup_corpus = [(1, "aa bb cc dd"), (2, "aa bb xx yy")]
+    docs = documents_to_docs(
+        spark.createDataFrame(dup_corpus, "doc_id long, text string")
+    )
+    # files [1] and [1,2] land in ONE trigger -> doc 1 appears twice in it
+    input_dir = _write_epochs(spark, docs, str(tmp_path), [[1], [1, 2]])
+    got_df = run_continuous_er(
+        spark,
+        input_dir,
+        str(tmp_path / "run"),
+        threshold=0.5,
+        max_files_per_trigger=2,
+    )
+    got = {(r.doc_id, r.cluster_id) for r in got_df.collect()}
+    assert got == _batch_expected(spark, dup_corpus) == {(1, 1), (2, 2)}

@@ -310,6 +310,7 @@ def pairs_from_blocks(
     drop_log: list | None = None,
     store=None,
     stage: str = "pairs_from_blocks",
+    salt_threshold: int | None = None,
 ) -> DataFrame:
     """B8 ComparisonPropagation: candidate pairs compared once regardless of
     how many blocks they co-occur in (reference
@@ -319,18 +320,31 @@ def pairs_from_blocks(
     Clean-Clean: A-side x B-side join per block; Dirty: self-join with
     ``left_id < right_id``. ``distinct`` de-duplicates across blocks.
 
-    Scale note (north rule): purging bounds per-key postings, AQE skew-join
-    splits the residue; keys larger than ``salt_cap`` would still build a
-    quadratic block, so emission stays correct because the join is per
-    block_key and Spark streams the sorted runs — the real guard is purging,
-    and ``salt_cap`` is an assertion-style hard cap that *drops* pathological
-    keys rather than letting one key OOM an executor. A dropped mega-block
-    changes the answer, so drops must never be silent: pass ``store`` (a
-    ``plans.stages.StageStore``) to append a ``{stage}__salt_cap_dropped``
-    metrics row, and/or ``drop_log`` (a list) to receive
-    ``(n_dropped_keys, n_dropped_rows)`` — both run one tiny aggregate over
-    the block-size table only when a cap is set.
+    Scale note (north rule): purging bounds per-key postings and AQE
+    skew-join splits the residue. Two explicit guards stack on top:
+
+    * ``salt_threshold`` — **salted-key skew splitting** (SURVEY.md §4.2).
+      Keys whose posting count exceeds the threshold are split into
+      ``s = ceil(n / salt_threshold)`` salted sub-blocks: one join side
+      carries ``pmod(xxhash64(doc_id), s)``, the other is replicated over
+      all ``s`` salts (``explode(sequence(...))``), so each pair is still
+      emitted and the per-task group shrinks from n x n to (n/s) x n — s
+      tasks of linear input instead of one quadratic straggler that AQE
+      cannot split further (AQE splits by partition, and a single mega-key
+      is one partition). Output is IDENTICAL to the unsalted join (the
+      trailing distinct absorbs the salt dimension). Normal keys get s = 1:
+      no replication, one extra tiny column. The salt factors ride a
+      broadcast of the (tiny) oversized-key list.
+    * ``salt_cap`` — an assertion-style hard cap that *drops* keys even
+      salting shouldn't attempt (a stop-word block at web scale is purging's
+      job, not emission's). A dropped mega-block changes the answer, so
+      drops must never be silent: pass ``store`` (a
+      ``plans.stages.StageStore``) to append a ``{stage}__salt_cap_dropped``
+      metrics row, and/or ``drop_log`` (a list) to receive
+      ``(n_dropped_keys, n_dropped_rows)`` — both run one tiny aggregate
+      over the block-size table only when a cap is set.
     """
+    sizes = None
     if salt_cap is not None:
         sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
         if drop_log is not None or store is not None:
@@ -345,18 +359,42 @@ def pairs_from_blocks(
         keep = sizes.where(F.col("_n") <= salt_cap).select("block_key")
         blocks = blocks.join(F.broadcast(keep), "block_key", "left_semi")
 
+    join_keys = ["block_key"]
+    lcols: list = []
+    rcols: list = []
+    if salt_threshold is not None:
+        if sizes is None:
+            sizes = blocks.groupBy("block_key").agg(F.count("*").alias("_n"))
+        fat = sizes.where(F.col("_n") > salt_threshold).select(
+            "block_key",
+            F.ceil(F.col("_n") / F.lit(salt_threshold)).cast("int").alias("_s"),
+        )
+        blocks = blocks.join(F.broadcast(fat), "block_key", "left").withColumn(
+            "_s", F.coalesce("_s", F.lit(1))
+        )
+        join_keys = ["block_key", "_g"]
+        # one side hashes into its salt slot, the other replicates across
+        # all of its key's slots — every pair still meets in exactly one
+        # (block_key, _g) cell; s = 1 keys replicate into a single row
+        lcols = [F.pmod(F.xxhash64("doc_id"), F.col("_s")).cast("int").alias("_g")]
+        rcols = [F.explode(F.sequence(F.lit(0), F.col("_s") - 1)).alias("_g")]
+
     if clean_clean:
         left = blocks.where(F.col("side") == "A").select(
-            F.col("block_key"), F.col("doc_id").alias("left_id")
+            F.col("block_key"), F.col("doc_id").alias("left_id"), *lcols
         )
         right = blocks.where(F.col("side") == "B").select(
-            F.col("block_key"), F.col("doc_id").alias("right_id")
+            F.col("block_key"), F.col("doc_id").alias("right_id"), *rcols
         )
-        pairs = left.join(right, "block_key")
+        pairs = left.join(right, join_keys)
     else:
-        l = blocks.select("block_key", F.col("doc_id").alias("left_id"))
-        r = blocks.select("block_key", F.col("doc_id").alias("right_id"))
-        pairs = l.join(r, "block_key").where(F.col("left_id") < F.col("right_id"))
+        # salted self-join: each unordered pair is found from the salted row
+        # of EACH endpoint (the other side replicated) — twice total,
+        # absorbed by left<right + distinct exactly like multi-block
+        # co-occurrence
+        l = blocks.select("block_key", F.col("doc_id").alias("left_id"), *lcols)
+        r = blocks.select("block_key", F.col("doc_id").alias("right_id"), *rcols)
+        pairs = l.join(r, join_keys).where(F.col("left_id") < F.col("right_id"))
     cols = ["left_id", "right_id"] + (["block_key"] if with_block_key else [])
     return pairs.select(*cols).distinct()
 

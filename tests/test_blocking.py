@@ -177,3 +177,67 @@ def test_media_ref_blocking_crossmodal(spark):
     assert got == {("ref://img/X", "1"), ("ref://img/X", "2"), ("ref://img/Y", "3")}
     pairs = B.pairs_from_blocks(bt, clean_clean=False).collect()
     assert {(r.left_id, r.right_id) for r in pairs} == {("1", "2")}
+
+
+def test_salted_pair_emission_equals_unsalted_dirty(spark):
+    """salt_threshold splits oversized keys into salted sub-blocks (one side
+    hashed, the other replicated) — output must equal the plain per-key
+    self-join exactly; the trailing distinct absorbs the salt dimension."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    rows = (
+        [("hot", "A", str(i)) for i in range(13)]          # 13 > threshold 4 -> s = 4
+        + [("warm", "A", str(i)) for i in range(40, 45)]   # 5 > 4 -> s = 2
+        + [("cold", "A", "90"), ("cold", "A", "91")]       # s = 1 path
+    )
+    blocks = spark.createDataFrame(rows, "block_key string, side string, doc_id string")
+    base = {
+        (r.left_id, r.right_id)
+        for r in B.pairs_from_blocks(blocks, clean_clean=False, salt_cap=None).collect()
+    }
+    salted = {
+        (r.left_id, r.right_id)
+        for r in B.pairs_from_blocks(
+            blocks, clean_clean=False, salt_cap=None, salt_threshold=4
+        ).collect()
+    }
+    assert salted == base and len(base) == 13 * 12 // 2 + 5 * 4 // 2 + 1
+
+
+def test_salted_pair_emission_equals_unsalted_clean_clean(spark):
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    rows = (
+        [("hot", "A", f"A:{i}") for i in range(6)]
+        + [("hot", "B", f"B:{i}") for i in range(7)]
+        + [("tiny", "A", "A:9"), ("tiny", "B", "B:9")]
+    )
+    blocks = spark.createDataFrame(rows, "block_key string, side string, doc_id string")
+    base = {
+        (r.left_id, r.right_id)
+        for r in B.pairs_from_blocks(blocks, clean_clean=True, salt_cap=None).collect()
+    }
+    salted = {
+        (r.left_id, r.right_id)
+        for r in B.pairs_from_blocks(
+            blocks, clean_clean=True, salt_cap=None, salt_threshold=5
+        ).collect()
+    }
+    assert salted == base and len(base) == 6 * 7 + 1
+
+
+def test_salting_composes_with_block_key_and_cap(spark):
+    """with_block_key + salt_cap + salt_threshold together: the cap drops the
+    mega key first, salting splits the remaining fat key, block_key column
+    survives the salted join."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    rows = [("mega", "A", str(i)) for i in range(30)] + [
+        ("fat", "A", str(i)) for i in range(100, 106)
+    ]
+    blocks = spark.createDataFrame(rows, "block_key string, side string, doc_id string")
+    got = B.pairs_from_blocks(
+        blocks, clean_clean=False, salt_cap=20, salt_threshold=2, with_block_key=True
+    ).collect()
+    assert {r.block_key for r in got} == {"fat"}
+    assert len(got) == 6 * 5 // 2

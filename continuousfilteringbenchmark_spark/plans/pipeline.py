@@ -32,6 +32,10 @@ class ERConfig:
     blocking: B.BlockingConfig = field(default_factory=B.BlockingConfig)
     sim: str = "jaccard"
     threshold: float = 0.5
+    # salted-key skew splitting for pair emission (north rule): keys with
+    # more than this many postings split into salted sub-blocks; None = AQE
+    # + purging only (see operators.blocking.pairs_from_blocks)
+    salt_threshold: int | None = None
 
 
 def docs_with_tokens(docs: DataFrame, side_from_prefix: bool = True) -> DataFrame:
@@ -455,7 +459,7 @@ def er_pipeline(
     cfg.blocking.clean_clean = clean_clean
     tokened = docs_with_tokens(docs, side_from_prefix=clean_clean)
     blocks = B.build_blocks(tokened, cfg.blocking)
-    pairs = B.pairs_from_blocks(blocks, clean_clean)
+    pairs = B.pairs_from_blocks(blocks, clean_clean, salt_threshold=cfg.salt_threshold)
     # min_score pushes the threshold into the scorer (exact size-bound
     # prefilter before any intersection work)
     matches = score_pairs(pairs, tokened, cfg.sim, min_score=cfg.threshold)

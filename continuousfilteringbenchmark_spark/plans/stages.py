@@ -135,7 +135,13 @@ def materialized_er_pipeline(
     else:
         blocks = store.run_stage("blocks", lambda: B.build_blocks(tokened, cfg.blocking))
         pairs = store.run_stage(
-            "candidate_pairs", lambda: B.pairs_from_blocks(blocks, clean_clean)
+            "candidate_pairs",
+            lambda: B.pairs_from_blocks(
+                blocks,
+                clean_clean,
+                store=store,
+                salt_threshold=getattr(cfg, "salt_threshold", None),
+            ),
         )
     matches = store.run_stage(
         "matches",

@@ -1041,6 +1041,39 @@ def q_deepblocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deepblocker_topk(_documents(spark, sf_dir), None, k=5, dim=16)
 
 
+def q_duplicated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplication spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): maximal token ranges of
+    each doc whose every 8-token window occurs in >= 2 distinct documents.
+    The Spark side groups windows by xxhash64 of the gram (8-byte shuffle
+    key); the oracle groups by the gram STRING — identical equality classes
+    absent a 64-bit collision (needs ~2^32 distinct grams to matter)."""
+    from continuousfilteringbenchmark_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    return duplicated_ngram_spans(_documents(spark, sf_dir), n=8, min_docs=2)
+
+
+def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram collision rule):
+    docs with doc_id % 25 == 0 play the held-out benchmark set, the rest
+    the corpus; a corpus doc is contaminated iff it shares any n-token
+    window with the benchmark. n=13 is the published GPT-3 appendix-C
+    value; the synthetic docs are ~40 tokens so the query runs n=4 to
+    exercise the hit path (27 contaminated docs at sf0.01). The benchmark
+    gram table is broadcast — the corpus side never shuffles on the gram
+    key (eval sets are MBs against a 100 TB corpus)."""
+    from continuousfilteringbenchmark_spark.operators.dedup import (
+        contamination_flags,
+    )
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 25 == 0)
+    corpus = docs.where(F.col("doc_id") % 25 != 0)
+    return contamination_flags(corpus, bench, n=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1103,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_bool_vectors": q_ngram_bool_vectors,
         "deepblocker_pairs": q_deepblocker_pairs,
         "tuned_workflow": q_tuned_workflow,
+        "duplicated_ngram_spans": q_duplicated_ngram_spans,
+        "contamination_flags": q_contamination_flags,
     }
 
 
@@ -2956,5 +2991,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.query_id, s.corpus_id, s.score
             FROM sc s JOIN kth k USING (query_id)
             WHERE k.kv IS NULL OR s.score >= k.kv
+        """,
+        # grams grouped by STRING here vs xxhash64 on the Spark side —
+        # identical equality classes absent a 64-bit collision
+        "duplicated_ngram_spans": """
+            WITH wtoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '[\\W_]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, w.pos AS pos, w.gram AS gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ts) - 8 + 2),
+                              i -> {'pos': i - 1,
+                                    'gram': array_to_string(
+                                        list_slice(ts, i, i + 8 - 1), ' ')})) AS w
+                FROM wtoks WHERE len(ts) >= 8
+              )
+            ),
+            flagged AS (
+              SELECT gram FROM wins
+              GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+            ),
+            hits AS (
+              SELECT doc_id, pos FROM wins
+              WHERE gram IN (SELECT gram FROM flagged)
+            ),
+            isl0 AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > lag(pos) OVER (PARTITION BY doc_id
+                                                    ORDER BY pos) + 8
+                          THEN 1 ELSE 0 END AS nw
+              FROM hits
+            ),
+            isl AS (
+              SELECT doc_id, pos,
+                     sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl0
+            )
+            SELECT doc_id, min(pos)::INT AS start_tok,
+                   (max(pos) + 8 - 1)::INT AS end_tok,
+                   count(*)::BIGINT AS n_windows
+            FROM isl GROUP BY doc_id, island
+        """,
+        "contamination_flags": """
+            WITH wtoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '[\\W_]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, w.gram AS gram FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(ts) - 4 + 2),
+                              i -> {'gram': array_to_string(
+                                        list_slice(ts, i, i + 4 - 1), ' ')})) AS w
+                FROM wtoks WHERE len(ts) >= 4
+              )
+            ),
+            bgrams AS (
+              SELECT DISTINCT gram FROM wins WHERE doc_id % 25 = 0
+            ),
+            hits AS (
+              SELECT doc_id, count(DISTINCT gram)::BIGINT AS n_hits
+              FROM wins
+              WHERE doc_id % 25 <> 0 AND gram IN (SELECT gram FROM bgrams)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   (coalesce(h.n_hits, 0) > 0) AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
     }

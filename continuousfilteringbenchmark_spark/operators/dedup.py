@@ -110,6 +110,137 @@ def minhash_near_duplicates(
     return scored.where(F.col("score") >= threshold).select("left_id", "right_id", "score")
 
 
+def word_ngram_windows(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sliding word n-gram windows: one row per (doc, token position).
+
+    Output: (doc_id, pos int, gram long) — ``pos`` is the 0-based token
+    index of the window start, ``gram`` the xxhash64 of the n tokens joined
+    by a single space. Tokenization is the engine's word bag
+    (``tokenize.word_tokens``: lower/trim, split on non-word, blanks
+    dropped, duplicates kept, input order). Docs shorter than n tokens
+    contribute no windows.
+
+    Scale shape: a pure map — ``transform`` over a token array inside
+    whole-stage codegen, then one explode; output rows ~= input tokens.
+    Hashing to int64 keeps the shuffle key 8 bytes instead of the n-token
+    string; a cross-window collision needs ~2^32 DISTINCT grams per
+    equality cell to matter (birthday bound) and only ever merges two
+    spans, never loses one.
+    """
+    toks = tk.word_tokens(text_col)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - n + 1),
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("pos"),
+            F.xxhash64(F.concat_ws(" ", F.slice(toks, i, F.lit(n)))).alias("gram"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(F.size(toks) >= n, wins).otherwise(
+                F.array().cast("array<struct<pos:int,gram:bigint>>")
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+
+
+def duplicated_ngram_spans(
+    df: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication spans (the ExactSubstr dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    re-shaped for DataFrame execution): maximal token ranges of each doc
+    whose every n-token window also occurs in >= ``min_docs`` distinct
+    documents (including this one).
+
+    Method: hash every n-token window (``word_ngram_windows``), count
+    DISTINCT docs per gram, keep windows of grams above the threshold,
+    then merge a doc's surviving window starts into maximal spans with a
+    gaps-and-islands pass — two windows at ``p < p'`` share a span iff
+    ``p' <= p + n`` (their token intervals overlap or touch, i.e. the
+    duplicated text is contiguous).
+
+    Output: (doc_id, start_tok int, end_tok int, n_windows long) — token
+    index range [start_tok, end_tok] inclusive, 0-based, plus the number
+    of duplicated windows the span merged. A true suffix-array pass finds
+    duplications >= n tokens at EXACT boundaries; the window formulation
+    finds the same runs with boundaries quantized to n-gram starts, in
+    exchange for a shuffle-only plan (no global suffix sort).
+
+    Scale shape: window explode (linear) -> gram groupBy-count (one
+    shuffle; partial aggregation absorbs hot phrase grams map-side) ->
+    semi-join windows against flagged grams (shuffle on gram) -> per-doc
+    window-function merge (one shuffle on doc_id). No step is quadratic
+    in corpus size.
+    """
+    wins = word_ngram_windows(df, n, text_col, id_col)
+    flagged_grams = (
+        wins.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("gram")
+    )
+    hits = wins.join(flagged_grams, "gram", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = hits.withColumn(
+        "_new",
+        F.when(F.col("pos") > F.lag("pos").over(w) + n, 1).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return islands.groupBy("doc_id", "_island").agg(
+        F.min("pos").alias("start_tok"),
+        (F.max("pos") + n - 1).alias("end_tok"),
+        F.count("*").alias("n_windows"),
+    ).select("doc_id", "start_tok", "end_tok", "n_windows")
+
+
+def contamination_flags(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram collision rule):
+    flag corpus documents sharing any n-token window with a held-out
+    benchmark set. ``n=13`` is the published GPT-3 appendix-C value;
+    short-doc corpora want smaller n.
+
+    Output: (doc_id, n_hits long, contaminated boolean) — one row per
+    corpus doc; ``n_hits`` counts the doc's DISTINCT n-gram hashes that
+    occur anywhere in the benchmark set.
+
+    Scale shape: the benchmark side is the small one by construction
+    (eval sets are MBs against a 100 TB corpus) — its distinct gram-hash
+    table is broadcast, so the corpus side is a map-side semi-join with
+    zero corpus shuffle before the per-doc count (one shuffle on doc_id).
+    """
+    bench_grams = (
+        word_ngram_windows(benchmark, n, text_col, id_col).select("gram").distinct()
+    )
+    # semi-join FIRST (map-side against the broadcast), dedup per doc after:
+    # the corpus table is never shuffled on the gram key, only the tiny
+    # surviving hit set shuffles on doc_id
+    hits = (
+        word_ngram_windows(df, n, text_col, id_col)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+    all_ids = df.select(F.col(id_col).alias("doc_id"))
+    return all_ids.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def dedup_assignments(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -293,3 +293,70 @@ def test_corpus_curation_all_reasons(spark):
     assert rows["4"].lang_pred == "es"
     assert (rows["5"].keep, rows["5"].reason, rows["5"].rep_id) == (False, "low_quality", "5")
     assert rows["5"].quality < 0.5 <= rows["1"].quality
+
+
+def test_word_ngram_windows_positions_and_short_docs(spark):
+    df = _docs(spark, [("1", "A b, c d"), ("2", "x y")])
+    wins = dedup.word_ngram_windows(df, n=3).collect()
+    # doc 1 has 4 tokens -> windows at pos 0 and 1; doc 2 (2 tokens) none
+    got = sorted((r.doc_id, r.pos) for r in wins)
+    assert got == [("1", 0), ("1", 1)]
+    # gram hashes of equal token windows are equal across docs
+    df2 = _docs(spark, [("1", "a b c"), ("2", "A  b c!")])
+    grams = [r.gram for r in dedup.word_ngram_windows(df2, n=3).collect()]
+    assert len(grams) == 2 and grams[0] == grams[1]
+
+
+def test_duplicated_ngram_spans_merges_contiguous_windows(spark):
+    # docs 1+2 share the 6-token run "one two three four five six";
+    # with n=3 that is 4 shared windows (pos 1..4 in doc 1) merging into
+    # ONE span [1, 6]; doc 3 shares nothing
+    df = _docs(
+        spark,
+        [
+            ("1", "zzz one two three four five six qqq"),
+            ("2", "one two three four five six"),
+            ("3", "totally disjoint text content here now"),
+        ],
+    )
+    spans = {r.doc_id: (r.start_tok, r.end_tok, r.n_windows)
+             for r in dedup.duplicated_ngram_spans(df, n=3).collect()}
+    assert spans["1"] == (1, 6, 4)
+    assert spans["2"] == (0, 5, 4)
+    assert "3" not in spans
+
+
+def test_duplicated_ngram_spans_splits_far_apart_islands(spark):
+    # the shared gram appears at pos 0 and pos 8 of doc 1 (gap > n) ->
+    # two separate spans
+    df = _docs(
+        spark,
+        [
+            ("1", "a b c x1 x2 x3 x4 x5 a b c"),
+            ("2", "a b c"),
+        ],
+    )
+    spans = sorted(
+        (r.start_tok, r.end_tok, r.n_windows)
+        for r in dedup.duplicated_ngram_spans(df, n=3).collect()
+        if r.doc_id == "1"
+    )
+    assert spans == [(0, 2, 1), (8, 10, 1)]
+
+
+def test_contamination_flags_counts_distinct_hits(spark):
+    corpus = _docs(
+        spark,
+        [
+            ("c1", "the eval answer is forty two exactly"),
+            ("c2", "clean document with original content only"),
+        ],
+    )
+    bench = _docs(spark, [("b1", "the eval answer is forty two")])
+    got = {r.doc_id: (r.n_hits, r.contaminated)
+           for r in dedup.contamination_flags(corpus, bench, n=4).collect()}
+    # shared 6-token run -> 3 distinct 4-gram windows hit
+    assert got["c1"] == (3, True)
+    assert got["c2"] == (0, False)
+    # every corpus doc gets a row, contaminated or not
+    assert set(got) == {"c1", "c2"}

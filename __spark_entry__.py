@@ -1074,6 +1074,17 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, n=4)
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per doc (Rae et al., table A1):
+    duplicate-token fraction + fraction of tokens covered by the most
+    frequent word 2-gram, with the published 0.2 drop threshold. The
+    oracle replays the mode count over string grams (identical equality
+    classes to the Spark side's xxhash64 grams absent a 64-bit collision)."""
+    from continuousfilteringbenchmark_spark.operators.dedup import repetition_profile
+
+    return repetition_profile(_documents(spark, sf_dir), n=2, top_frac_threshold=0.2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1138,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuned_workflow": q_tuned_workflow,
         "duplicated_ngram_spans": q_duplicated_ngram_spans,
         "contamination_flags": q_contamination_flags,
+        "repetition_signals": q_repetition_signals,
     }
 
 
@@ -3067,5 +3079,45 @@ def oracle_sql() -> dict[str, str]:
                    (coalesce(h.n_hits, 0) > 0) AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
             LEFT JOIN hits h USING (doc_id)
+        """,
+        "repetition_signals": """
+            WITH wtoks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)),
+                                                       '[\\W_]+'),
+                                 t -> t <> '') AS ts
+              FROM documents
+            ),
+            stats AS (
+              SELECT doc_id, len(ts)::INT AS n_tokens,
+                     len(list_distinct(ts))::INT AS n_distinct
+              FROM wtoks
+            ),
+            wins AS (
+              SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+                     i -> array_to_string(list_slice(ts, i, i + 1), ' '))) AS gram
+              FROM wtoks WHERE len(ts) >= 2
+            ),
+            top AS (
+              SELECT doc_id, max(c)::BIGINT AS top_cnt FROM (
+                SELECT doc_id, gram, count(*) AS c FROM wins
+                GROUP BY doc_id, gram
+              ) GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_tokens,
+                   CASE WHEN s.n_tokens > 0
+                        THEN round(1.0 - s.n_distinct / s.n_tokens::DOUBLE, 6)
+                        ELSE 0.0 END AS dup_token_frac,
+                   coalesce(t.top_cnt, 0)::BIGINT AS top_ngram_count,
+                   CASE WHEN s.n_tokens > 0
+                        THEN round(least(coalesce(t.top_cnt, 0) * 2
+                                         / s.n_tokens::DOUBLE, 1.0), 6)
+                        ELSE 0.0 END AS top_ngram_frac,
+                   (coalesce(t.top_cnt, 0) >= 2 AND
+                    (CASE WHEN s.n_tokens > 0
+                          THEN round(least(coalesce(t.top_cnt, 0) * 2
+                                           / s.n_tokens::DOUBLE, 1.0), 6)
+                          ELSE 0.0 END) > 0.2) AS repetitive
+            FROM stats s LEFT JOIN top t USING (doc_id)
         """,
     }

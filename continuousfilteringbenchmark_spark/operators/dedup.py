@@ -241,6 +241,67 @@ def contamination_flags(
     )
 
 
+def repetition_profile(
+    df: DataFrame,
+    n: int = 2,
+    top_frac_threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc repetition signals (the Gopher repetition filters of Rae et
+    al., "Scaling Language Models: Methods, Analysis & Insights from
+    Training Gopher", table A1, re-based on tokens): duplicate-token
+    fraction and the fraction of tokens covered by the doc's most frequent
+    word n-gram. Gopher drops docs whose top-2-gram covers > 0.20 of the
+    text; ``repetitive`` applies that threshold to the token-fraction
+    proxy ``top_ngram_count * n / n_tokens`` (clamped to 1.0 — overlapping
+    windows can over-count), additionally requiring the gram to actually
+    repeat (``top_ngram_count >= 2`` — on short docs any single n-gram
+    covers > 20% of the tokens without any repetition).
+
+    Output: (doc_id, n_tokens int, dup_token_frac double,
+    top_ngram_count long, top_ngram_frac double, repetitive boolean);
+    fractions rounded to 6 decimals.
+
+    Scale shape: token stats are a pure map (array functions in codegen);
+    the n-gram mode is explode -> (doc, gram) count -> per-doc max — two
+    shuffles both keyed on doc_id-dominated keys, no per-row O(L^2) scan
+    (long docs would make an in-array mode quadratic per row).
+    """
+    toks = tk.word_tokens(text_col)
+    stats = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    top = (
+        word_ngram_windows(df, n, text_col, id_col)
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_top"))
+    )
+    out = stats.join(top, "doc_id", "left")
+    n_tok_d = F.col("n_tokens").cast("double")
+    dup_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.lit(1.0) - F.col("n_distinct") / n_tok_d, 6),
+    ).otherwise(F.lit(0.0))
+    top_cnt = F.coalesce(F.col("_top"), F.lit(0)).cast("bigint")
+    top_frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(F.least(top_cnt * n / n_tok_d, F.lit(1.0)), 6),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        dup_frac.alias("dup_token_frac"),
+        top_cnt.alias("top_ngram_count"),
+        top_frac.alias("top_ngram_frac"),
+        ((top_cnt >= 2) & (top_frac > top_frac_threshold)).alias("repetitive"),
+    )
+
+
 def dedup_assignments(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -360,3 +360,26 @@ def test_contamination_flags_counts_distinct_hits(spark):
     assert got["c2"] == (0, False)
     # every corpus doc gets a row, contaminated or not
     assert set(got) == {"c1", "c2"}
+
+
+def test_repetition_profile_signals(spark):
+    df = _docs(
+        spark,
+        [
+            ("1", "spam spam spam spam spam spam"),     # one token repeated
+            ("2", "all words here are fully distinct"),  # no repetition
+            ("3", "x"),                                   # too short for 2-grams
+            ("4", ""),                                    # empty
+        ],
+    )
+    got = {r.doc_id: r for r in dedup.repetition_profile(df, n=2).collect()}
+    # doc 1: 6 tokens, 1 distinct -> dup frac 5/6; top 2-gram "spam spam"
+    # appears 5x -> frac min(10/6, 1) = 1.0 -> repetitive
+    r1 = got["1"]
+    assert (r1.n_tokens, r1.top_ngram_count, r1.top_ngram_frac, r1.repetitive) == (6, 5, 1.0, True)
+    assert abs(r1.dup_token_frac - round(5 / 6, 6)) < 1e-9
+    r2 = got["2"]
+    assert (r2.dup_token_frac, r2.top_ngram_count, r2.repetitive) == (0.0, 1, False)
+    assert got["3"].top_ngram_count == 0 and not got["3"].repetitive
+    r4 = got["4"]
+    assert (r4.n_tokens, r4.dup_token_frac, r4.top_ngram_frac, r4.repetitive) == (0, 0.0, 0.0, False)

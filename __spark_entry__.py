@@ -1074,6 +1074,18 @@ def q_contamination_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(corpus, bench, n=4)
 
 
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted Neighborhood blocking (Hernandez & Stolfo) over the documents
+    table, window=4 on the normalized token-sequence key: all doc pairs at
+    sorted-rank distance < 4. The oracle replays the identical total order
+    with ``row_number() OVER (ORDER BY key, doc_id)``."""
+    from continuousfilteringbenchmark_spark.operators.blocking import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(_documents(spark, sf_dir), window=4)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters per doc (Rae et al., table A1):
     duplicate-token fraction + fraction of tokens covered by the most
@@ -1150,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_ngram_spans": q_duplicated_ngram_spans,
         "contamination_flags": q_contamination_flags,
         "repetition_signals": q_repetition_signals,
+        "sorted_neighborhood": q_sorted_neighborhood,
     }
 
 
@@ -3119,5 +3132,23 @@ def oracle_sql() -> dict[str, str]:
                                            / s.n_tokens::DOUBLE, 1.0), 6)
                           ELSE 0.0 END) > 0.2) AS repetitive
             FROM stats s LEFT JOIN top t USING (doc_id)
+        """,
+        "sorted_neighborhood": """
+            WITH ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY k, doc_id) - 1 AS rnk
+              FROM (
+                SELECT doc_id,
+                       array_to_string(
+                         list_filter(regexp_split_to_array(lower(trim(text)),
+                                                           '[\\W_]+'),
+                                     t -> t <> ''), ' ') AS k
+                FROM documents
+              )
+            )
+            SELECT least(a.doc_id, b.doc_id) AS id1,
+                   greatest(a.doc_id, b.doc_id) AS id2
+            FROM ranked a JOIN ranked b
+              ON b.rnk > a.rnk AND b.rnk < a.rnk + 4
         """,
     }

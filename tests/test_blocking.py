@@ -241,3 +241,25 @@ def test_salting_composes_with_block_key_and_cap(spark):
     ).collect()
     assert {r.block_key for r in got} == {"fat"}
     assert len(got) == 6 * 5 // 2
+
+
+def test_sorted_neighborhood_pairs_window_semantics(spark):
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from pyspark.sql import functions as F
+
+    # keys sort as: a(1), b(2), c(3), d(4) -> window=3 pairs = rank dist < 3
+    df = spark.createDataFrame(
+        [("2", "b"), ("4", "d"), ("1", "a"), ("3", "c")],
+        "doc_id string, text string",
+    )
+    got = {(r.id1, r.id2) for r in B.sorted_neighborhood_pairs(df, window=3).collect()}
+    assert got == {("1", "2"), ("1", "3"), ("2", "3"), ("2", "4"), ("3", "4")}
+    # ties on the key break by doc_id; count formula (w-1)*n - w(w-1)/2
+    df2 = spark.createDataFrame(
+        [(str(i), "same text") for i in range(6)], "doc_id string, text string"
+    )
+    pairs = B.sorted_neighborhood_pairs(df2, window=4).collect()
+    assert len(pairs) == 3 * 6 - 6
+    # deterministic under repartitioning
+    got_a = sorted(map(tuple, B.sorted_neighborhood_pairs(df.repartition(7), window=3).collect()))
+    assert got_a == sorted(got)

@@ -649,9 +649,6 @@ def q_continuous_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole table — co-token pairs -> Jaccard >= 0.5 -> transitive closure,
     min-id clusters with singletons — proving the streaming assignment
     converges to exactly what a from-scratch batch run would produce."""
-    import glob
-    import shutil
-
     from continuousfilteringbenchmark_spark.datamodel import documents_to_docs
     from continuousfilteringbenchmark_spark.streaming.continuous import (
         run_continuous_er,
@@ -662,6 +659,8 @@ def q_continuous_er(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(input_dir)
     docs = documents_to_docs(_documents(spark, sf_dir))
     mx = _documents(spark, sf_dir).agg(F.max("doc_id")).first()[0] or 0
+    from continuousfilteringbenchmark_spark.streaming.staging import stage_microbatch
+
     bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
     for i, (lo, hi) in enumerate(bounds, start=1):
         chunk = docs.withColumn("_id", F.col("doc_id").cast("long"))
@@ -669,13 +668,7 @@ def q_continuous_er(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = chunk.where(F.col("_id") > lo)
         if hi is not None:
             chunk = chunk.where(F.col("_id") <= hi)
-        stage = os.path.join(work, f"_stage{i}")
-        chunk.drop("_id").coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(input_dir, f"b{i:03d}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + i,) * 2)
-        shutil.rmtree(stage)
+        stage_microbatch(chunk.drop("_id"), input_dir, i)
     return run_continuous_er(spark, input_dir, f"{work}/run", threshold=0.5)
 
 
@@ -808,9 +801,7 @@ def q_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch under no-late-data — the invariant incremental_blocking certifies
     for blocking; the late-DROP side of the watermark contract is certified
     by tests/test_streaming_stateful.py)."""
-    import glob
-    import shutil
-
+    from continuousfilteringbenchmark_spark.streaming.staging import stage_microbatch
     from continuousfilteringbenchmark_spark.streaming.windows import (
         run_windowed_ingest,
     )
@@ -825,16 +816,7 @@ def q_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_seconds(F.lit(BASE) + F.col("doc_id")).alias("event_time"),
         "text",
     )
-    mx = docs.agg(F.max("doc_id")).first()[0]
-
-    def write_file(df: DataFrame, i: int) -> None:
-        stage = os.path.join(work, f"_stage{i}")
-        df.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(input_dir, f"b{i:03d}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + i,) * 2)
-        shutil.rmtree(stage)
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
 
     bounds = [(None, mx // 3), (mx // 3, 2 * mx // 3), (2 * mx // 3, None)]
     for i, (lo, hi) in enumerate(bounds, start=1):
@@ -843,13 +825,14 @@ def q_windowed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             chunk = chunk.where(F.col("doc_id") > lo)
         if hi is not None:
             chunk = chunk.where(F.col("doc_id") <= hi)
-        write_file(chunk.select("event_time", "text"), i)
+        stage_microbatch(chunk.select("event_time", "text"), input_dir, i)
     for j, off in enumerate((10**8, 2 * 10**8), start=4):
-        write_file(
+        stage_microbatch(
             spark.sql(
                 f"SELECT timestamp_seconds({BASE + off}) AS event_time, "
                 "'sentinel' AS text"
             ),
+            input_dir,
             j,
         )
     out = run_windowed_ingest(spark, input_dir, work, schema)

@@ -162,6 +162,7 @@ def connected_components(
         _unpersist_ids(sc, held)
         return out, (int(obs.get["n"]), int(obs.get["h"])), own
 
+    held: set[int] = set()
     try:
         init = pairs.select(
             F.col("left_id").alias("u"), F.col("right_id").alias("v")
@@ -201,6 +202,11 @@ def connected_components(
         _unpersist_ids(sc, held)
         return assign
     finally:
+        # error-path hygiene: if the loop died mid-cadence (executor loss,
+        # OOM, interrupt) the last edge-table checkpoint is still persisted;
+        # idempotent (ids already freed on the success path are absent from
+        # getPersistentRDDs)
+        _unpersist_ids(sc, held)
         if restore_ckpt_dir:
             # scala setCheckpointDir(null) maps to Option(null) = None — the
             # exact "unset" state; the python wrapper rejects None, so go

@@ -429,5 +429,11 @@ def deepblocker_topk(
     if method == "exact":
         return knn_exact(q, c, k, id_col="doc_id")
     if method == "ivf":
-        return knn_ivf(q, c, k, n_cells=n_cells, nprobe=nprobe, id_col="doc_id")
+        # quantizer='sample' keeps the promised deterministic, SQL-replayable
+        # centroids (the mode q_knn_ivf_approx certifies) — the default
+        # k-means fit would break the determinism contract here
+        return knn_ivf(
+            q, c, k, n_cells=n_cells, nprobe=nprobe,
+            quantizer="sample", id_col="doc_id",
+        )
     raise ValueError("method must be 'exact' or 'ivf'")

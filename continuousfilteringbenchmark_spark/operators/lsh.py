@@ -224,11 +224,10 @@ def hash_uniforms(tag: str, shape: tuple[int, ...]) -> np.ndarray:
     return flat.reshape(shape)
 
 
-def hyperplane_mean(vecs: DataFrame, dim: int, vec_col: str = "vec") -> np.ndarray:
-    """Per-dimension mean of a vector column (the FALCONN centering vector).
-    One aggregate job; factored out so callers that build SEVERAL band
-    tables over the same input (e.g. multiprobe + base in a self-join)
-    compute the full-scan mean once and share it via ``mean_vec``."""
+def _hyperplane_mean(vecs: DataFrame, dim: int, vec_col: str = "vec") -> np.ndarray:
+    """Per-dimension mean of a vector column (the FALCONN centering vector);
+    one aggregate job. Callers needing both the base and probe buckets get
+    them from ONE band table (rank column) — the mean is never recomputed."""
     mean_row = vecs.select(
         F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("m")
     ).collect()[0]["m"]
@@ -245,7 +244,6 @@ def hyperplane_bands(
     id_col: str = "doc_id",
     center: bool = True,
     n_probes: int = 0,
-    mean_vec: np.ndarray | None = None,
 ) -> DataFrame:
     """N3 random-hyperplane signatures: per table, n_bits of sign(V . R).
 
@@ -272,10 +270,7 @@ def hyperplane_bands(
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
     planes = hash_uniforms(f"hp:{seed}", (n_tables, n_bits, dim))
-    if not center:
-        mean_vec = None
-    elif mean_vec is None:
-        mean_vec = hyperplane_mean(vecs, dim, vec_col)
+    mean_vec = _hyperplane_mean(vecs, dim, vec_col) if center else None
 
     out_type = T.ArrayType(
         T.StructType(

@@ -74,11 +74,9 @@ def test_run_continuous_cli_and_restart(spark, tmp_path):
     """scripts/run_continuous.py: streamed epochs produce the batch-equal
     assignment; restarting with the same args (no new files) is a no-op that
     reports the same summary from the committed epochs."""
-    import glob
-    import shutil
-
     import run_continuous
     from continuousfilteringbenchmark_spark.datamodel import documents_to_docs
+    from continuousfilteringbenchmark_spark.streaming.staging import stage_microbatch
     from pyspark.sql import functions as F
 
     flat = [
@@ -92,12 +90,9 @@ def test_run_continuous_cli_and_restart(spark, tmp_path):
     input_dir = str(tmp_path / "in")
     os.makedirs(input_dir)
     for i, ids in enumerate([[1, 2, 3], [10, 11]], start=1):
-        stage = str(tmp_path / f"_s{i}")
-        docs.where(F.col("doc_id").cast("long").isin(ids)).coalesce(1).write.parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(input_dir, f"b{i:03d}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + i,) * 2)
+        stage_microbatch(
+            docs.where(F.col("doc_id").cast("long").isin(ids)), input_dir, i
+        )
 
     work = str(tmp_path / "work")
     argv = ["--input", input_dir, "--work", work, "--threshold", "0.5"]

@@ -6,7 +6,6 @@ corpus ingested so far.
 
 import glob
 import os
-import shutil
 
 from pyspark.sql import functions as F
 
@@ -16,6 +15,7 @@ from continuousfilteringbenchmark_spark.streaming.continuous import (
     incremental_cc_merge,
     run_continuous_er,
 )
+from continuousfilteringbenchmark_spark.streaming.staging import stage_microbatch
 
 
 def test_incremental_cc_merge_joins_components(spark):
@@ -63,15 +63,9 @@ def _write_epochs(spark, docs, work, epochs):
     input_dir = os.path.join(work, "in")
     os.makedirs(input_dir, exist_ok=True)
     for i, ids in enumerate(epochs, start=1):
-        stage = os.path.join(work, f"_stage{i}")
-        docs.where(F.col("doc_id").cast("long").isin(ids)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(stage)
-        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-        dst = os.path.join(input_dir, f"b{i:03d}.parquet")
-        shutil.copy(part, dst)
-        os.utime(dst, (1_000_000_000 + i,) * 2)
-        shutil.rmtree(stage)
+        stage_microbatch(
+            docs.where(F.col("doc_id").cast("long").isin(ids)), input_dir, i
+        )
     return input_dir
 
 

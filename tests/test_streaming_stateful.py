@@ -132,17 +132,9 @@ def test_dedup_group_udf_tiebreak_and_chunks():
 def _write_stream_file(spark, rows, schema, input_dir, i):
     """One parquet FILE per micro-batch, mtime-ordered (the file source with
     maxFilesPerTrigger=1 + latestFirst=false replays oldest-mtime first)."""
-    import glob
-    import os
-    import shutil
+    from continuousfilteringbenchmark_spark.streaming.staging import stage_microbatch
 
-    stage = os.path.join(str(input_dir), f"_stage{i}")
-    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(stage)
-    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-    dst = os.path.join(str(input_dir), f"b{i:03d}.parquet")
-    shutil.copy(part, dst)
-    os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
-    shutil.rmtree(stage)
+    stage_microbatch(spark.createDataFrame(rows, schema), str(input_dir), i)
 
 
 def test_windowed_ingest_watermark_drops_late_rows(spark, tmp_path):

@@ -1080,6 +1080,103 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_profile(_documents(spark, sf_dir), n=2, top_frac_threshold=0.2)
 
 
+def _fs_fields():
+    """Fellegi-Sunter comparison fields over the documents table: exact
+    lang/source agreement, length within 20% (integer cross-multiplied),
+    token Jaccard >= 1/2 (integer cross-multiplied) — every agreement is
+    integer arithmetic so the DuckDB oracle matches bit-for-bit."""
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    return {
+        "lang": LK.exact_field("lang"),
+        "source": LK.exact_field("source"),
+        "len": LK.relative_diff_field("n_chars", 1, 5),
+        "jac": LK.token_jaccard_field("tokens", 1, 2),
+    }
+
+
+_FS_NAMES = ["lang", "source", "len", "jac"]
+
+
+def _fs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+
+    d = _documents(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        tk.word_token_set("text").alias("tokens"),
+        F.lower(F.trim("text")).alias("norm_text"),
+    )
+
+
+def _fs_agreements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    pairs = B.pairs_from_blocks(_doc_blocks(_documents(spark, sf_dir)), clean_clean=False)
+    return LK.agreement_vectors(pairs, _fs_docs(spark, sf_dir), _fs_fields())
+
+
+def _fs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic labels on candidate pairs: match == exact normalized
+    text equality (the exact-duplicate relation, derivable by any engine)."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    pairs = B.pairs_from_blocks(_doc_blocks(_documents(spark, sf_dir)), clean_clean=False)
+    lab = LK.agreement_vectors(
+        pairs, _fs_docs(spark, sf_dir), {"match": LK.exact_field("norm_text")}
+    )
+    return lab.withColumnRenamed("a_match", "is_match")
+
+
+def q_fs_agreements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 Fellegi-Sunter stage 1: per-candidate-pair agreement vectors
+    (Fellegi & Sunter, JASA 1969; the comparison-vector gamma). Candidate
+    pairs are the token-blocking comparison propagation (same pair set as
+    the ``candidate_pairs`` query); fields: lang, source, length-within-20%,
+    token-Jaccard >= 0.5 — all integer-exact."""
+    return _fs_agreements(spark, sf_dir)
+
+
+def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 stage 2 (supervised): m/u probabilities per field from the
+    exact-duplicate label relation with add-one smoothing — ONE output row
+    of count-ratio doubles (bit-exact in any engine)."""
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    return LK.estimate_mu(
+        _fs_agreements(spark, sf_dir), _fs_labels(spark, sf_dir), _FS_NAMES
+    )
+
+
+def q_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 stage 3: per-pair Fellegi-Sunter likelihood ratio — the fixed
+    field-order product of m/u (agree) or (1-m)/(1-u) (disagree) terms,
+    broadcast one-row weight table, no log-space math (bit-reproducible)."""
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    ag = _fs_agreements(spark, sf_dir)
+    w = LK.estimate_mu(ag, _fs_labels(spark, sf_dir), _FS_NAMES)
+    return LK.likelihood_ratios(ag, w, _FS_NAMES).select("left_id", "right_id", "lr")
+
+
+def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21 stage 4 (unsupervised): one distributed EM E-step over agreement
+    PATTERNS (<= 2^4 rows) from dyadic-rational initial weights (m=7/8,
+    u=1/8, lambda=1/2 — exactly representable doubles, so literals agree
+    across engines). The full driver-side EM loop (``linkage.em_weights``)
+    is pinned by ``tests/test_linkage.py`` against an independent EM."""
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    return LK.em_posterior_step(
+        _fs_agreements(spark, sf_dir), _FS_NAMES, m=0.875, u=0.125, lam=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1146,6 +1243,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_flags": q_contamination_flags,
         "repetition_signals": q_repetition_signals,
         "sorted_neighborhood": q_sorted_neighborhood,
+        "fs_agreements": q_fs_agreements,
+        "fs_weights": q_fs_weights,
+        "fs_scores": q_fs_scores,
+        "fs_em_posterior": q_fs_em_posterior,
     }
 
 
@@ -1621,6 +1722,60 @@ shfp AS (
   FROM shv GROUP BY doc_id
 )
 """
+
+# Fellegi-Sunter shared fragments: token-blocking candidate pairs with the
+# per-pair common-token count, joined to both docs' fields -> the agreement
+# vector gamma + the exact-duplicate label, all in integer arithmetic
+_FS_AGR = f"""{_TOKS},
+            fs_pairs AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            agr AS (
+              SELECT p.left_id, p.right_id,
+                     CAST(l.lang = r.lang AS INT) AS a_lang,
+                     CAST(l.source = r.source AS INT) AS a_source,
+                     CAST(abs(l.n_chars - r.n_chars) * 5
+                          <= greatest(l.n_chars, r.n_chars) AS INT) AS a_len,
+                     CAST(p.c * 2 >= (ls.sz + rs.sz - p.c) AS INT) AS a_jac,
+                     CAST(lower(trim(l.text)) = lower(trim(r.text)) AS INT)
+                       AS is_match
+              FROM fs_pairs p
+              JOIN documents l ON l.doc_id = p.left_id
+              JOIN documents r ON r.doc_id = p.right_id
+              JOIN tsz ls ON ls.doc_id = p.left_id
+              JOIN tsz rs ON rs.doc_id = p.right_id
+            )"""
+
+# one-row supervised m/u estimate with add-one smoothing (count ratios)
+_FS_WTS_COLS = ",\n                   ".join(
+    ["CAST(sum(is_match) AS BIGINT) AS n_match",
+     "CAST(sum(1 - is_match) AS BIGINT) AS n_unmatch"]
+    + [
+        c
+        for f in ("lang", "source", "len", "jac")
+        for c in (
+            f"CAST(sum(a_{f} * is_match) + 1 AS DOUBLE)"
+            f" / CAST(sum(is_match) + 2 AS DOUBLE) AS m_{f}",
+            f"CAST(sum(a_{f} * (1 - is_match)) + 1 AS DOUBLE)"
+            f" / CAST(sum(1 - is_match) + 2 AS DOUBLE) AS u_{f}",
+        )
+    ]
+)
+
+# per-pattern class likelihoods from dyadic-rational init weights, in the
+# same fixed field order as the Spark expression (left-associated product)
+_FS_P1 = " * ".join(
+    f"(CASE WHEN a_{f} = 1 THEN CAST(0.875 AS DOUBLE)"
+    f" ELSE CAST(0.125 AS DOUBLE) END)"
+    for f in ("lang", "source", "len", "jac")
+)
+_FS_P0 = " * ".join(
+    f"(CASE WHEN a_{f} = 1 THEN CAST(0.125 AS DOUBLE)"
+    f" ELSE CAST(0.875 AS DOUBLE) END)"
+    for f in ("lang", "source", "len", "jac")
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3133,5 +3288,53 @@ def oracle_sql() -> dict[str, str]:
                    greatest(a.doc_id, b.doc_id) AS id2
             FROM ranked a JOIN ranked b
               ON b.rnk > a.rnk AND b.rnk < a.rnk + 4
+        """,
+        # Fellegi-Sunter stage 1: agreement vectors over the token-blocking
+        # candidate pairs. Every agreement is integer arithmetic (equality,
+        # cross-multiplied length tolerance, cross-multiplied Jaccard) so
+        # the comparison vector gamma is bit-exact in any engine.
+        "fs_agreements": f"""
+            WITH {_FS_AGR}
+            SELECT left_id, right_id, a_lang, a_source, a_len, a_jac FROM agr
+        """,
+        # stage 2: supervised m/u from the exact-duplicate label relation
+        # (add-one smoothing); one row of count-ratio doubles
+        "fs_weights": f"""
+            WITH {_FS_AGR}
+            SELECT {_FS_WTS_COLS} FROM agr
+        """,
+        # stage 3: likelihood ratio = fixed-field-order product of m/u or
+        # (1-m)/(1-u) terms; the weight row is a single-row cross join
+        "fs_scores": f"""
+            WITH {_FS_AGR},
+            wts AS (SELECT {_FS_WTS_COLS} FROM agr)
+            SELECT a.left_id, a.right_id,
+                   (CASE WHEN a.a_lang = 1 THEN w.m_lang / w.u_lang
+                         ELSE (CAST(1 AS DOUBLE) - w.m_lang)
+                              / (CAST(1 AS DOUBLE) - w.u_lang) END)
+                 * (CASE WHEN a.a_source = 1 THEN w.m_source / w.u_source
+                         ELSE (CAST(1 AS DOUBLE) - w.m_source)
+                              / (CAST(1 AS DOUBLE) - w.u_source) END)
+                 * (CASE WHEN a.a_len = 1 THEN w.m_len / w.u_len
+                         ELSE (CAST(1 AS DOUBLE) - w.m_len)
+                              / (CAST(1 AS DOUBLE) - w.u_len) END)
+                 * (CASE WHEN a.a_jac = 1 THEN w.m_jac / w.u_jac
+                         ELSE (CAST(1 AS DOUBLE) - w.m_jac)
+                              / (CAST(1 AS DOUBLE) - w.u_jac) END) AS lr
+            FROM agr a CROSS JOIN wts w
+        """,
+        # stage 4: one EM E-step per agreement pattern from dyadic-rational
+        # init (m=7/8, u=1/8, lambda=1/2 - exactly representable doubles)
+        "fs_em_posterior": f"""
+            WITH {_FS_AGR},
+            pat AS (
+              SELECT a_lang, a_source, a_len, a_jac, count(*) AS n
+              FROM agr GROUP BY a_lang, a_source, a_len, a_jac
+            )
+            SELECT a_lang, a_source, a_len, a_jac, n,
+                   (CAST(0.5 AS DOUBLE) * {_FS_P1})
+                   / ((CAST(0.5 AS DOUBLE) * {_FS_P1})
+                      + CAST(0.5 AS DOUBLE) * {_FS_P0}) AS posterior
+            FROM pat
         """,
     }

@@ -1,0 +1,172 @@
+"""Fellegi-Sunter linkage: agreement vectors, supervised m/u, likelihood
+ratios, and driver-side EM on pattern counts."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # (doc_id, lang, source, n_chars, tokens)
+        (1, "en", "s1", 100, ["a", "b", "c"]),
+        (2, "en", "s1", 110, ["a", "b", "c", "d"]),
+        (3, "en", "s2", 300, ["x", "y"]),
+        (4, "fr", "s2", 95, ["a", "b"]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id int, lang string, source string, n_chars int, tokens array<string>"
+    )
+
+
+FIELDS = {
+    "lang": LK.exact_field("lang"),
+    "source": LK.exact_field("source"),
+    "len": LK.relative_diff_field("n_chars", 1, 5),  # within 20%
+    "jac": LK.token_jaccard_field("tokens", 1, 2),  # jaccard >= 0.5
+}
+NAMES = list(FIELDS)
+
+
+@pytest.fixture(scope="module")
+def agreements(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "left_id int, right_id int"
+    )
+    return LK.agreement_vectors(pairs, docs, FIELDS)
+
+
+def test_agreement_vectors(agreements):
+    got = {
+        (r["left_id"], r["right_id"]): (r["a_lang"], r["a_source"], r["a_len"], r["a_jac"])
+        for r in agreements.collect()
+    }
+    # (1,2): same lang+source, |100-110|*5=50 <= 110, jac 3/4 >= 1/2
+    assert got[(1, 2)] == (1, 1, 1, 1)
+    # (1,3): lang agrees only; |100-300|*5 > 300; jac 0
+    assert got[(1, 3)] == (1, 0, 0, 0)
+    # (1,4): lang differs, source differs, |100-95|*5=25<=100 -> 1, jac 2/3 >= 1/2
+    assert got[(1, 4)] == (0, 0, 1, 1)
+    # (3,4): source agrees; |300-95|*5 > 300 -> 0; jac 0
+    assert got[(3, 4)] == (0, 1, 0, 0)
+
+
+def test_estimate_mu_and_lr(spark, agreements):
+    labels = spark.createDataFrame(
+        [(1, 2, 1), (1, 3, 0), (1, 4, 0), (3, 4, 0)],
+        "left_id int, right_id int, is_match int",
+    )
+    w = LK.estimate_mu(agreements, labels, NAMES, smoothing=1)
+    row = w.collect()[0]
+    assert row["n_match"] == 1 and row["n_unmatch"] == 3
+    # m_lang = (1+1)/(1+2); u_lang = (1+1)/(3+2)
+    assert row["m_lang"] == pytest.approx(2 / 3)
+    assert row["u_lang"] == pytest.approx(2 / 5)
+    # u_len: agreements on len among non-matches = 1 -> (1+1)/5
+    assert row["u_len"] == pytest.approx(2 / 5)
+
+    lrs = {
+        (r["left_id"], r["right_id"]): r["lr"]
+        for r in LK.likelihood_ratios(agreements, w, NAMES).collect()
+    }
+    # hand-computed for (1,2): all agree -> prod m_f/u_f
+    expect = (
+        (row["m_lang"] / row["u_lang"])
+        * (row["m_source"] / row["u_source"])
+        * (row["m_len"] / row["u_len"])
+        * (row["m_jac"] / row["u_jac"])
+    )
+    assert lrs[(1, 2)] == pytest.approx(expect)
+    # the true match outscores every non-match
+    assert lrs[(1, 2)] > max(v for k, v in lrs.items() if k != (1, 2))
+
+    kept = LK.fs_classify(agreements, w, NAMES, min_lr=1.0)
+    assert {(r["left_id"], r["right_id"]) for r in kept.collect()} == {(1, 2)}
+
+
+def test_em_posterior_step_matches_hand_math(agreements):
+    out = LK.em_posterior_step(agreements, NAMES, m=0.9, u=0.2, lam=0.5)
+    rows = {tuple(r[f"a_{f}"] for f in NAMES): r for r in out.collect()}
+    # pattern (1,1,1,1): p1 = .9^4, p0 = .2^4
+    p1, p0 = 0.9**4, 0.2**4
+    assert rows[(1, 1, 1, 1)]["posterior"] == pytest.approx(p1 / (p1 + p0))
+    assert rows[(1, 1, 1, 1)]["n"] == 1
+    # pattern (1,0,0,0): p1 = .9*.1^3, p0 = .2*.8^3
+    p1, p0 = 0.9 * 0.1**3, 0.2 * 0.8**3
+    assert rows[(1, 0, 0, 0)]["posterior"] == pytest.approx(p1 / (p1 + p0))
+
+
+def _np_em_reference(pats, counts, K, iters, m0, u0, l0):
+    """Independent plain-python EM for cross-checking em_weights."""
+    m = [m0] * K
+    u = [u0] * K
+    lam = l0
+    for _ in range(iters):
+        w1s = 0.0
+        w1a = [0.0] * K
+        w0a = [0.0] * K
+        tot = sum(counts)
+        w0s = 0.0
+        for p, n in zip(pats, counts):
+            p1 = lam
+            p0 = 1 - lam
+            for k in range(K):
+                p1 *= m[k] if p[k] else 1 - m[k]
+                p0 *= u[k] if p[k] else 1 - u[k]
+            post = p1 / (p1 + p0)
+            w1s += n * post
+            w0s += n * (1 - post)
+            for k in range(K):
+                if p[k]:
+                    w1a[k] += n * post
+                    w0a[k] += n * (1 - post)
+        lam = w1s / tot
+        m = [min(max(w1a[k] / w1s, 1e-6), 1 - 1e-6) for k in range(K)]
+        u = [min(max(w0a[k] / w0s, 1e-6), 1 - 1e-6) for k in range(K)]
+    return lam, m, u
+
+
+def test_em_weights_recovers_separated_mixture(spark):
+    # synthetic: 200 "match" pairs agree on both fields w.p. ~0.9; 1800
+    # non-matches agree w.p. ~0.1 -- deterministic counts, no RNG
+    rows = []
+    pid = 0
+
+    def emit(n, a1, a2):
+        nonlocal pid
+        for _ in range(n):
+            rows.append((pid, pid + 1_000_000, a1, a2))
+            pid += 1
+
+    emit(160, 1, 1)
+    emit(40, 1, 0)
+    emit(1620, 0, 0)
+    emit(180, 0, 1)
+    agg = spark.createDataFrame(rows, "left_id long, right_id long, a_f1 int, a_f2 int")
+    w = LK.em_weights(agg, ["f1", "f2"], iters=60, init_m=0.8, init_u=0.3, init_lambda=0.2)
+    assert w["n_pairs"] == 2000
+    # the two latent classes are separable: m >> u on f1
+    assert w["m"]["f1"] > 0.6 and w["u"]["f1"] < 0.2
+    assert 0.02 < w["lambda"] < 0.4
+    # cross-check against an independent EM at the same fixed iteration count
+    pats = [(1, 1), (1, 0), (0, 1), (0, 0)]
+    counts = [160, 40, 180, 1620]
+    lam_ref, m_ref, u_ref = _np_em_reference(
+        pats, counts, 2, w["iters"], 0.8, 0.3, 0.2
+    )
+    assert w["lambda"] == pytest.approx(lam_ref, rel=1e-6)
+    assert w["m"]["f1"] == pytest.approx(m_ref[0], rel=1e-6)
+    assert w["u"]["f2"] == pytest.approx(u_ref[1], rel=1e-6)
+    assert math.isfinite(w["loglik"])
+
+
+def test_em_weights_partition_invariant(spark):
+    rows = [(i, i + 10_000, i % 2, (i // 2) % 2) for i in range(64)]
+    agg = spark.createDataFrame(rows, "left_id long, right_id long, a_f1 int, a_f2 int")
+    w1 = LK.em_weights(agg.repartition(1), ["f1", "f2"], iters=10)
+    w8 = LK.em_weights(agg.repartition(8), ["f1", "f2"], iters=10)
+    assert w1 == w8

@@ -1177,6 +1177,38 @@ def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 survivorship: one golden record per ER cluster (clusters = the
+    ``er_clusters`` chain). Representative = longest normalized text
+    (tie: min doc_id); canonical lang/source = cluster mode (tie:
+    lexicographically smallest); plus member count / summed chars /
+    min doc_id — every rule deterministic, oracle bit-exact."""
+    from continuousfilteringbenchmark_spark.operators.survivorship import golden_records
+
+    return golden_records(_documents(spark, sf_dir), q_er_clusters(spark, sf_dir))
+
+
+def q_bcubed_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23 B-cubed extrinsic clustering quality (Bagga & Baldwin '98):
+    per-doc ALL-INTEGER contingency (c_size, g_size, overlap) of the
+    ``er_clusters`` assignment against the exact-duplicate gold partition
+    (gold cluster = min doc_id per normalized text). No quadratic pair
+    materialization — three aggregations, so the metric survives clusters
+    of any size. The scalar averages are ``eval.bcubed`` (unit-tested)."""
+    from pyspark.sql import Window
+
+    from continuousfilteringbenchmark_spark.eval import bcubed_contingency
+
+    docs = _documents(spark, sf_dir)
+    gold = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.lower(F.trim("text"))))
+        .alias("cluster_id"),
+    )
+    return bcubed_contingency(q_er_clusters(spark, sf_dir), gold)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1247,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_weights": q_fs_weights,
         "fs_scores": q_fs_scores,
         "fs_em_posterior": q_fs_em_posterior,
+        "golden_records": q_golden_records,
+        "bcubed_per_doc": q_bcubed_per_doc,
     }
 
 
@@ -1777,6 +1811,47 @@ _FS_P0 = " * ".join(
     for f in ("lang", "source", "len", "jac")
 )
 
+# the full dirty-ER clustering chain (token blocking -> purging ->
+# filtering(0.5) -> pairs -> Jaccard >= 0.5 -> transitive closure ->
+# min-id clusters + singletons), shared by er_clusters / golden_records /
+# bcubed_per_doc; requires WITH RECURSIVE
+_ER_CC = f"""{_TOKS}, {_BSTATS}, {_PURGE}, {_FILTER},
+            cpairs AS (
+              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+              FROM filtered a
+              JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+            ),
+            common AS (
+              SELECT p.left_id, p.right_id, count(*) AS c
+              FROM cpairs p
+              JOIN toks tl ON tl.doc_id = p.left_id
+              JOIN toks tr ON tr.doc_id = p.right_id AND tl.tok = tr.tok
+              GROUP BY p.left_id, p.right_id
+            ),
+            matches AS (
+              SELECT c.left_id, c.right_id
+              FROM common c
+              JOIN tsz l ON l.doc_id = c.left_id
+              JOIN tsz r ON r.doc_id = c.right_id
+              WHERE CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) >= 0.5
+            ),
+            sym AS (
+              SELECT left_id AS src, right_id AS dst FROM matches
+              UNION ALL
+              SELECT right_id, left_id FROM matches
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+            assign AS (
+              SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+            )"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -1958,40 +2033,8 @@ def oracle_sql() -> dict[str, str]:
             HAVING sum(pass) >= 1
         """,
         "er_clusters": f"""
-            WITH RECURSIVE {_TOKS}, {_BSTATS}, {_PURGE}, {_FILTER},
-            cpairs AS (
-              SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-              FROM filtered a
-              JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
-            ),
-            common AS (
-              SELECT p.left_id, p.right_id, count(*) AS c
-              FROM cpairs p
-              JOIN toks tl ON tl.doc_id = p.left_id
-              JOIN toks tr ON tr.doc_id = p.right_id AND tl.tok = tr.tok
-              GROUP BY p.left_id, p.right_id
-            ),
-            matches AS (
-              SELECT c.left_id, c.right_id
-              FROM common c
-              JOIN tsz l ON l.doc_id = c.left_id
-              JOIN tsz r ON r.doc_id = c.right_id
-              WHERE CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) >= 0.5
-            ),
-            sym AS (
-              SELECT left_id AS src, right_id AS dst FROM matches
-              UNION ALL
-              SELECT right_id, left_id FROM matches
-            ),
-            nodes AS (SELECT DISTINCT src AS node FROM sym),
-            reach AS (
-              SELECT node AS a, node AS b FROM nodes
-              UNION
-              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
-            ),
-            cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
-            SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
-            FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+            WITH RECURSIVE {_ER_CC}
+            SELECT doc_id, cluster_id FROM assign
         """,
         "ngram_dedup_pairs": f"""
             WITH {_GRAMS3},
@@ -3336,5 +3379,67 @@ def oracle_sql() -> dict[str, str]:
                    / ((CAST(0.5 AS DOUBLE) * {_FS_P1})
                       + CAST(0.5 AS DOUBLE) * {_FS_P0}) AS posterior
             FROM pat
+        """,
+        # survivorship: one golden record per ER cluster — representative =
+        # longest normalized text (tie: min id), categorical mode with
+        # lexicographic tie-break, integer provenance stats
+        "golden_records": f"""
+            WITH RECURSIVE {_ER_CC},
+            mem AS (
+              SELECT a.cluster_id, d.doc_id, lower(trim(d.text)) AS norm,
+                     d.lang, d.source, d.n_chars
+              FROM assign a JOIN documents d ON d.doc_id = a.doc_id
+            ),
+            stats AS (
+              SELECT cluster_id, count(*) AS n_members,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     min(doc_id) AS min_doc_id
+              FROM mem GROUP BY cluster_id
+            ),
+            rep AS (
+              SELECT cluster_id, doc_id AS rep_id, norm AS rep_text,
+                     row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY length(norm) DESC, doc_id ASC) AS rn
+              FROM mem
+            ),
+            lc AS (SELECT cluster_id, lang, count(*) AS c
+                   FROM mem GROUP BY cluster_id, lang),
+            lp AS (SELECT cluster_id, lang,
+                          row_number() OVER (PARTITION BY cluster_id
+                                             ORDER BY c DESC, lang ASC) AS rn
+                   FROM lc),
+            srcc AS (SELECT cluster_id, source, count(*) AS c
+                     FROM mem GROUP BY cluster_id, source),
+            srcp AS (SELECT cluster_id, source,
+                            row_number() OVER (PARTITION BY cluster_id
+                                               ORDER BY c DESC, source ASC) AS rn
+                     FROM srcc)
+            SELECT s.cluster_id, r.rep_id, r.rep_text,
+                   l.lang AS canon_lang, p.source AS canon_source,
+                   s.n_members, s.sum_chars, s.min_doc_id
+            FROM stats s
+            JOIN rep r ON r.cluster_id = s.cluster_id AND r.rn = 1
+            JOIN lp l ON l.cluster_id = s.cluster_id AND l.rn = 1
+            JOIN srcp p ON p.cluster_id = s.cluster_id AND p.rn = 1
+        """,
+        # B-cubed contingency of the ER clustering vs the exact-duplicate
+        # gold partition — all-integer per-doc surface
+        "bcubed_per_doc": f"""
+            WITH RECURSIVE {_ER_CC},
+            gold AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY lower(trim(text))) AS gold_id
+              FROM documents
+            ),
+            bj AS (
+              SELECT a.doc_id, a.cluster_id AS c, g.gold_id AS g
+              FROM assign a JOIN gold g ON g.doc_id = a.doc_id
+            ),
+            csz AS (SELECT c, count(*) AS c_size FROM bj GROUP BY c),
+            gsz AS (SELECT g, count(*) AS g_size FROM bj GROUP BY g),
+            ov AS (SELECT c, g, count(*) AS overlap FROM bj GROUP BY c, g)
+            SELECT bj.doc_id, csz.c_size, gsz.g_size, ov.overlap
+            FROM bj
+            JOIN csz USING (c) JOIN gsz USING (g) JOIN ov USING (c, g)
         """,
     }

@@ -79,3 +79,68 @@ def cluster_pairs(clusters: DataFrame) -> DataFrame:
 def evaluate_clusters(clusters: DataFrame, gold_pairs: DataFrame) -> PairMetrics:
     """Pairwise F1 of a clustering vs gold pairs (the BASELINE.json gate)."""
     return evaluate_pairs(cluster_pairs(clusters), gold_pairs)
+
+
+def bcubed_contingency(clusters: DataFrame, gold: DataFrame) -> DataFrame:
+    """Per-doc B-cubed contingency (Bagga & Baldwin '98; Amigo et al. '09
+    showed B-cubed is the extrinsic clustering metric satisfying all four
+    formal constraints — pairwise F1 over-rewards large clusters).
+
+    Inputs: two (doc_id, cluster_id)-shaped tables (``gold`` column name
+    ``cluster_id`` as well). Output per doc, ALL-INTEGER (exactly
+    reproducible in any engine):
+
+        (doc_id, c_size, g_size, overlap)
+
+    where c_size = |system cluster of doc|, g_size = |gold cluster|,
+    overlap = |intersection of the two|. B-cubed precision for the doc is
+    overlap/c_size, recall overlap/g_size; the corpus scalars are the
+    averages (``bcubed``). Three aggregations with map-side combine — no
+    quadratic pair materialization (unlike ``cluster_pairs``), so the
+    metric itself scales to arbitrarily large clusters.
+    """
+    sys_a = clusters.select("doc_id", F.col("cluster_id").alias("_c"))
+    gold_a = gold.select("doc_id", F.col("cluster_id").alias("_g"))
+    j = sys_a.join(gold_a, "doc_id")
+    csz = j.groupBy("_c").agg(F.count(F.lit(1)).alias("c_size"))
+    gsz = j.groupBy("_g").agg(F.count(F.lit(1)).alias("g_size"))
+    ov = j.groupBy("_c", "_g").agg(F.count(F.lit(1)).alias("overlap"))
+    return (
+        j.join(csz, "_c")
+        .join(gsz, "_g")
+        .join(ov, ["_c", "_g"])
+        .select("doc_id", "c_size", "g_size", "overlap")
+    )
+
+
+@dataclass
+class BCubedMetrics:
+    precision: float
+    recall: float
+    n_docs: int
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+
+def bcubed(clusters: DataFrame, gold: DataFrame) -> BCubedMetrics:
+    """Corpus-level B-cubed precision/recall/F1 (averages of the per-doc
+    ratios from ``bcubed_contingency``). One extra global aggregate; the
+    float average is Spark's sum (order may vary at the last ulp — the
+    integer ``bcubed_contingency`` surface is the oracle-checked one)."""
+    row = (
+        bcubed_contingency(clusters, gold)
+        .agg(
+            F.avg(F.col("overlap") / F.col("c_size")).alias("p"),
+            F.avg(F.col("overlap") / F.col("g_size")).alias("r"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    return BCubedMetrics(
+        precision=float(row["p"] or 0.0),
+        recall=float(row["r"] or 0.0),
+        n_docs=int(row["n"]),
+    )

@@ -1177,6 +1177,19 @@ def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 scalar-quantized dense top-k (FAISS SQ8 parity): per-dim affine
+    uint8 codes -> integer code-dot candidate ranking (top 4k per query)
+    -> exact full-precision re-rank to top-k. Codes, integer scores and
+    the re-rank float fold are all bit-replayable in SQL."""
+    from continuousfilteringbenchmark_spark.operators.dense import knn_sq8
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return knn_sq8(vecs, None, k=5, rerank_factor=4, id_col="vec_id")
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X22 survivorship: one golden record per ER cluster (clusters = the
     ``er_clusters`` chain). Representative = longest normalized text
@@ -1281,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_em_posterior": q_fs_em_posterior,
         "golden_records": q_golden_records,
         "bcubed_per_doc": q_bcubed_per_doc,
+        "knn_sq8": q_knn_sq8,
     }
 
 
@@ -3441,5 +3455,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT bj.doc_id, csz.c_size, gsz.g_size, ov.overlap
             FROM bj
             JOIN csz USING (c) JOIN gsz USING (g) JOIN ov USING (c, g)
+        """,
+        # SQ8 quantized kNN: per-dim (min, range) over the normalized
+        # corpus -> uint8 codes -> integer centered-code dot, top-4k per
+        # query (tie: corpus_id) -> exact cosine re-rank to top-5
+        "knn_sq8": f"""
+            WITH {_NVEC},
+            expl0 AS (
+              SELECT vec_id,
+                     unnest(list_transform(generate_series(1, len(u)),
+                                           i -> {{'i': i, 'x': u[i]}})) AS e
+              FROM nv
+            ),
+            expl AS (SELECT vec_id, e.i AS i, e.x AS x FROM expl0),
+            dims AS (SELECT i, min(x) AS mn, max(x) AS mx FROM expl GROUP BY i),
+            codes AS (
+              SELECT e.vec_id, e.i,
+                     CASE WHEN d.mx - d.mn = 0 THEN 0
+                          ELSE CAST(greatest(0, least(255,
+                               floor(((e.x - d.mn) / (d.mx - d.mn)) * 256.0)))
+                               AS INT)
+                     END AS q
+              FROM expl e JOIN dims d USING (i)
+            ),
+            qdot AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+                     CAST(sum(CAST(a.q - 128 AS BIGINT) * (b.q - 128)) AS BIGINT)
+                       AS qscore
+              FROM codes a JOIN codes b ON a.i = b.i AND a.vec_id <> b.vec_id
+              GROUP BY a.vec_id, b.vec_id
+            ),
+            topm AS (
+              SELECT query_id, corpus_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qscore DESC, corpus_id ASC) AS rm
+              FROM qdot
+            ),
+            rr AS (
+              SELECT t.query_id, t.corpus_id,
+                     list_sum(list_transform(generate_series(1, len(q.u)),
+                                             i -> q.u[i] * c.u[i])) AS score
+              FROM topm t
+              JOIN nv q ON q.vec_id = t.query_id
+              JOIN nv c ON c.vec_id = t.corpus_id
+              WHERE t.rm <= 20
+            )
+            SELECT query_id, corpus_id, score FROM (
+              SELECT rr.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, corpus_id ASC) AS rn
+              FROM rr
+            ) WHERE rn <= 5
         """,
     }

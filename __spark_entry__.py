@@ -1134,7 +1134,7 @@ def _fs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fs_agreements(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X21 Fellegi-Sunter stage 1: per-candidate-pair agreement vectors
+    """X24 Fellegi-Sunter stage 1: per-candidate-pair agreement vectors
     (Fellegi & Sunter, JASA 1969; the comparison-vector gamma). Candidate
     pairs are the token-blocking comparison propagation (same pair set as
     the ``candidate_pairs`` query); fields: lang, source, length-within-20%,
@@ -1143,7 +1143,7 @@ def q_fs_agreements(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X21 stage 2 (supervised): m/u probabilities per field from the
+    """X24 stage 2 (supervised): m/u probabilities per field from the
     exact-duplicate label relation with add-one smoothing — ONE output row
     of count-ratio doubles (bit-exact in any engine)."""
     from continuousfilteringbenchmark_spark.operators import linkage as LK
@@ -1154,7 +1154,7 @@ def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X21 stage 3: per-pair Fellegi-Sunter likelihood ratio — the fixed
+    """X24 stage 3: per-pair Fellegi-Sunter likelihood ratio — the fixed
     field-order product of m/u (agree) or (1-m)/(1-u) (disagree) terms,
     broadcast one-row weight table, no log-space math (bit-reproducible)."""
     from continuousfilteringbenchmark_spark.operators import linkage as LK
@@ -1165,7 +1165,7 @@ def q_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X21 stage 4 (unsupervised): one distributed EM E-step over agreement
+    """X24 stage 4 (unsupervised): one distributed EM E-step over agreement
     PATTERNS (<= 2^4 rows) from dyadic-rational initial weights (m=7/8,
     u=1/8, lambda=1/2 — exactly representable doubles, so literals agree
     across engines). The full driver-side EM loop (``linkage.em_weights``)
@@ -1178,7 +1178,7 @@ def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X24 scalar-quantized dense top-k (FAISS SQ8 parity): per-dim affine
+    """X27 scalar-quantized dense top-k (FAISS SQ8 parity): per-dim affine
     uint8 codes -> integer code-dot candidate ranking (top 4k per query)
     -> exact full-precision re-rank to top-k. Codes, integer scores and
     the re-rank float fold are all bit-replayable in SQL."""
@@ -1191,7 +1191,7 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X22 survivorship: one golden record per ER cluster (clusters = the
+    """X25 survivorship: one golden record per ER cluster (clusters = the
     ``er_clusters`` chain). Representative = longest normalized text
     (tie: min doc_id); canonical lang/source = cluster mode (tie:
     lexicographically smallest); plus member count / summed chars /
@@ -1202,7 +1202,7 @@ def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bcubed_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X23 B-cubed extrinsic clustering quality (Bagga & Baldwin '98):
+    """X26 B-cubed extrinsic clustering quality (Bagga & Baldwin '98):
     per-doc ALL-INTEGER contingency (c_size, g_size, overlap) of the
     ``er_clusters`` assignment against the exact-duplicate gold partition
     (gold cluster = min doc_id per normalized text). No quadratic pair

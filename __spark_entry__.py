@@ -1222,6 +1222,33 @@ def q_bcubed_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed_contingency(q_er_clusters(spark, sf_dir), gold)
 
 
+def q_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 round 1 of unique-mapping (1:1) matching: locally dominant
+    pairs — pairs that are the best-ranked incident pair of BOTH endpoints
+    under (score DESC, left_id, right_id) — over the clean-clean ER scored
+    pairs. The SQL oracle replays the same total order with two
+    row_number windows."""
+    from continuousfilteringbenchmark_spark.operators.matching import (
+        locally_dominant_pairs,
+    )
+
+    return locally_dominant_pairs(q_clean_clean_er(spark, sf_dir))
+
+
+def q_unique_mapping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 full greedy 1:1 matching fixpoint (JedAI UniqueMappingClustering
+    semantics) via iterated local dominance — equal to the sequential
+    greedy by construction (pinned against a driver-side reference greedy
+    in ``tests/test_matching.py``). Genuinely iterative (data-dependent
+    round count), so no SQL oracle — the driver records the rows-only
+    check; ``best_match_pairs`` oracle-checks round 1 exactly."""
+    from continuousfilteringbenchmark_spark.operators.matching import (
+        unique_mapping_pairs,
+    )
+
+    return unique_mapping_pairs(q_clean_clean_er(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1295,6 +1322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_records": q_golden_records,
         "bcubed_per_doc": q_bcubed_per_doc,
         "knn_sq8": q_knn_sq8,
+        "best_match_pairs": q_best_match_pairs,
+        "unique_mapping_pairs": q_unique_mapping_pairs,
     }
 
 
@@ -3505,5 +3534,45 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY score DESC, corpus_id ASC) AS rn
               FROM rr
             ) WHERE rn <= 5
+        """,
+        # unique-mapping matching, round 1: locally dominant pairs of the
+        # clean-clean scored pair table — best incident pair of BOTH
+        # endpoints under the total order (score DESC, left_id, right_id)
+        "best_match_pairs": f"""
+            WITH {_CC_PURGE},
+            cpairs AS (
+              SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+              FROM ccpurged a
+              JOIN ccpurged b ON a.block_key = b.block_key AND a.is_a AND NOT b.is_a
+            ),
+            sz AS (SELECT doc_id, count(DISTINCT tok) AS sz FROM cctoks GROUP BY doc_id),
+            common AS (
+              SELECT p.lid, p.rid, count(*) AS c
+              FROM cpairs p
+              JOIN cctoks tl ON tl.doc_id = p.lid
+              JOIN cctoks tr ON tr.doc_id = p.rid AND tl.tok = tr.tok
+              GROUP BY p.lid, p.rid
+            ),
+            scored AS (
+              SELECT CAST(c.lid AS VARCHAR) AS left_id,
+                     CAST(c.rid AS VARCHAR) AS right_id,
+                     CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) AS score
+              FROM common c
+              JOIN sz l ON l.doc_id = c.lid
+              JOIN sz r ON r.doc_id = c.rid
+              WHERE CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) >= 0.5
+            ),
+            ranked AS (
+              SELECT left_id, right_id, score,
+                     row_number() OVER (PARTITION BY left_id
+                                        ORDER BY score DESC, left_id ASC,
+                                                 right_id ASC) AS rl,
+                     row_number() OVER (PARTITION BY right_id
+                                        ORDER BY score DESC, left_id ASC,
+                                                 right_id ASC) AS rr
+              FROM scored
+            )
+            SELECT left_id, right_id, score FROM ranked
+            WHERE rl = 1 AND rr = 1
         """,
     }

@@ -35,8 +35,16 @@ import __spark_entry__ as entry
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SWEEP_SF", "/root/testdata/sf0.001")
 
-# quadratic by documented design (exact correctness baselines)
-EXACT_BASELINES = {"knn_embeddings", "range_search_embeddings", "deepblocker_pairs"}
+# quadratic by documented design (exact correctness baselines), plus the
+# SQ8 scan: scalar quantization COMPRESSES the exhaustive scan (4x
+# bandwidth) rather than pruning it — FAISS SQ8 is likewise exhaustive
+# unless composed with IVF cells (operators/dense.py knn_sq8 docstring)
+EXACT_BASELINES = {
+    "knn_embeddings",
+    "range_search_embeddings",
+    "deepblocker_pairs",
+    "knn_sq8",
+}
 
 # queries whose plan contains a deliberate cross join against a CONFIG-
 # BOUNDED broadcast table (the IVF coarse-quantizer assignment: every vector
@@ -60,6 +68,9 @@ SCALAR_JOIN_OK = {
     "topk_join_multiset",
     "topk_join_fivegram",
     "schema_based_topk",
+    "fs_scores",  # ONE-ROW m/u weight table broadcast (linkage.py)
+    "best_match_pairs",  # over clean_clean_er (purging cutoff scalar)
+    "unique_mapping_pairs",  # same upstream scalar join
 }
 
 

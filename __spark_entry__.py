@@ -1222,6 +1222,19 @@ def q_bcubed_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bcubed_contingency(q_er_clusters(spark, sf_dir), gold)
 
 
+def q_weighted_epsilon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29 rarity-weighted ε-join: idf-flavored weighted Jaccard with
+    INTEGER weights (w = N div df — no float logs), threshold 0.4 on the
+    word-token sets. Down-weights Zipf hot tokens; all sums exact 64-bit
+    integers, one IEEE division per pair."""
+    from continuousfilteringbenchmark_spark.operators.joins import (
+        weighted_epsilon_join,
+    )
+
+    toks = _word_toks(_documents(spark, sf_dir))
+    return weighted_epsilon_join(toks, None, threshold=0.4)
+
+
 def q_best_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X28 round 1 of unique-mapping (1:1) matching: locally dominant
     pairs — pairs that are the best-ranked incident pair of BOTH endpoints
@@ -1324,6 +1337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_sq8": q_knn_sq8,
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_pairs": q_unique_mapping_pairs,
+        "weighted_epsilon_join": q_weighted_epsilon_join,
     }
 
 
@@ -3574,5 +3588,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT left_id, right_id, score FROM ranked
             WHERE rl = 1 AND rr = 1
+        """,
+        # rarity-weighted Jaccard ε-join: integer weights w = N div df,
+        # exact integer sums, one final IEEE division per pair
+        "weighted_epsilon_join": f"""
+            WITH {_TOKS},
+            nn AS (SELECT count(DISTINCT doc_id) AS n FROM toks),
+            dfq AS (SELECT tok, count(*) AS df FROM toks GROUP BY tok),
+            wt AS (SELECT d.tok, CAST(nn.n // d.df AS BIGINT) AS w
+                   FROM dfq d CROSS JOIN nn),
+            dw AS (
+              SELECT t.doc_id, CAST(sum(w.w) AS BIGINT) AS tw
+              FROM toks t JOIN wt w ON w.tok = t.tok GROUP BY t.doc_id
+            ),
+            cw AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(sum(w.w) AS BIGINT) AS c
+              FROM toks a
+              JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              JOIN wt w ON w.tok = a.tok
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT c.left_id, c.right_id,
+                   CAST(c.c AS DOUBLE) / (l.tw + r.tw - c.c) AS score
+            FROM cw c
+            JOIN dw l ON l.doc_id = c.left_id
+            JOIN dw r ON r.doc_id = c.right_id
+            WHERE CAST(c.c AS DOUBLE) / (l.tw + r.tw - c.c) >= 0.4
         """,
     }

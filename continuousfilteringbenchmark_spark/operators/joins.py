@@ -128,6 +128,87 @@ def epsilon_join(
     return scored.where(F.col("score") >= threshold).select("left_id", "right_id", "score")
 
 
+def weighted_epsilon_join(
+    left: DataFrame,
+    right: DataFrame | None,
+    threshold: float,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rarity-weighted (idf-flavored) Jaccard ε-join with INTEGER weights.
+
+    Token weight ``w(t) = N div df(t)`` (integer division; N = docs in the
+    weighting corpus, df = the token's document frequency): idf's
+    monotonicity — rare tokens heavy, corpus-wide tokens weight 1 — without
+    float logarithms, so every partial sum stays exact 64-bit integer
+    arithmetic and any SQL engine reproduces each score bit-for-bit (one
+    IEEE division per pair at the end):
+
+        score = W(A ∩ B) / (W(A) + W(B) - W(A ∩ B)),  W(S) = sum of w(t)
+
+    Down-weighting hot tokens is the classic fix for Zipf token skew in
+    set-similarity joins (the weighted-Jaccard / PPJoin+ literature): the
+    stopword postings that dominate the unweighted ε-join's shuffle still
+    join here, but contribute ~1 weight instead of deciding the score.
+
+    Scale shape: identical to ``epsilon_join``'s unfiltered mode (explode
+    -> token equi-join -> pair aggregation) plus one df aggregation and a
+    broadcast of the 1-row corpus count; the weight table joins on the
+    token key the postings shuffle already uses. ``right=None`` ->
+    Dirty-ER self-join (left < right); two-sided mode weights over the
+    UNION of both corpora so both sides score in the same frame.
+    """
+    self_join = right is None
+    l = _tokenized(left, tokens_col, id_col)
+    r = l if self_join else _tokenized(right, tokens_col, id_col)
+    lt = l.select(F.col("_id").alias("left_id"), F.explode("_tokens").alias("_tok"))
+    rt = (
+        lt.select(F.col("left_id").alias("right_id"), "_tok")
+        if self_join
+        else r.select(F.col("_id").alias("right_id"), F.explode("_tokens").alias("_tok"))
+    )
+    # weighting corpus: the self corpus, or the union of both sides (side
+    # tags keep colliding ids distinct for N and df)
+    if self_join:
+        wt_toks = lt.select(F.col("left_id").alias("_wid"), "_tok")
+    else:
+        wt_toks = lt.select(
+            F.concat(F.lit("L:"), F.col("left_id").cast("string")).alias("_wid"), "_tok"
+        ).unionByName(
+            rt.select(
+                F.concat(F.lit("R:"), F.col("right_id").cast("string")).alias("_wid"),
+                "_tok",
+            )
+        )
+    n_row = wt_toks.select("_wid").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    dfreq = wt_toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    wtab = dfreq.crossJoin(F.broadcast(n_row)).select(
+        "_tok", F.expr("_n div _df").alias("_w")
+    )
+    docw_l = lt.join(wtab, "_tok").groupBy("left_id").agg(F.sum("_w").alias("_lw"))
+    docw_r = rt.join(wtab, "_tok").groupBy("right_id").agg(F.sum("_w").alias("_rw"))
+    pairs = lt.join(rt, "_tok")
+    if self_join:
+        pairs = pairs.where(F.col("left_id") < F.col("right_id"))
+    common = (
+        pairs.join(wtab, "_tok")
+        .groupBy("left_id", "right_id")
+        .agg(F.sum("_w").alias("_cw"))
+    )
+    scored = (
+        common.join(docw_l, "left_id")
+        .join(docw_r, "right_id")
+        .withColumn(
+            "score",
+            F.col("_cw").cast("double")
+            / (F.col("_lw") + F.col("_rw") - F.col("_cw")),
+        )
+    )
+    return scored.where(F.col("score") >= F.lit(float(threshold))).select(
+        "left_id", "right_id", "score"
+    )
+
+
 def topk_join(
     source: DataFrame,
     target: DataFrame | None,

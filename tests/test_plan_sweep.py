@@ -69,6 +69,7 @@ SCALAR_JOIN_OK = {
     "topk_join_fivegram",
     "schema_based_topk",
     "fs_scores",  # ONE-ROW m/u weight table broadcast (linkage.py)
+    "weighted_epsilon_join",  # ONE-ROW corpus-count broadcast (joins.py)
     "best_match_pairs",  # over clean_clean_er (purging cutoff scalar)
     "unique_mapping_pairs",  # same upstream scalar join
 }

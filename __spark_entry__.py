@@ -1190,6 +1190,21 @@ def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_sq8(vecs, None, k=5, rerank_factor=4, id_col="vec_id")
 
 
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 product-quantized dense top-k (FAISS PQ8 asymmetric-distance
+    parity): deterministic sampled codebook (16 codewords x 8 subspaces)
+    -> per-subspace L2-nearest encode (tie: smallest code) -> ADC scan
+    scoring dot(query, reconstruction) -> exact re-rank of the top 4k.
+    Codebook draw, codes, ADC scores and final floats all replayed by the
+    SQL oracle."""
+    from continuousfilteringbenchmark_spark.operators.dense import knn_pq
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return knn_pq(vecs, None, k=5, m_sub=8, k_sub=16, rerank_factor=4, id_col="vec_id")
+
+
 def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25 survivorship: one golden record per ER cluster (clusters = the
     ``er_clusters`` chain). Representative = longest normalized text
@@ -1338,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_match_pairs": q_best_match_pairs,
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "weighted_epsilon_join": q_weighted_epsilon_join,
+        "knn_pq": q_knn_pq,
     }
 
 
@@ -3615,5 +3631,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN dw l ON l.doc_id = c.left_id
             JOIN dw r ON r.doc_id = c.right_id
             WHERE CAST(c.c AS DOUBLE) / (l.tw + r.tw - c.c) >= 0.4
+        """,
+        # PQ kNN: sampled codebook (16 smallest-md5 rows), per-subspace
+        # L2-nearest encode (tie: smallest code), ADC approximate score =
+        # dot(query, reconstruction), top-20 per query, exact re-rank to 5
+        "knn_pq": f"""
+            WITH {_NVEC},
+            sampr AS (
+              SELECT u,
+                     row_number() OVER (
+                       ORDER BY CAST('0x' || substring(
+                                  md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 10)
+                                AS BIGINT) ASC,
+                                CAST(vec_id AS VARCHAR) ASC) - 1 AS j
+              FROM nv
+            ),
+            samp AS (SELECT u, j FROM sampr WHERE j < 16),
+            dists AS (
+              SELECT n.vec_id, ii.i, s.j,
+                     list_sum(list_transform(generate_series(1, 8),
+                       dd -> (n.u[ii.i * 8 + dd] - s.u[ii.i * 8 + dd])
+                           * (n.u[ii.i * 8 + dd] - s.u[ii.i * 8 + dd]))) AS dist
+              FROM nv n
+              CROSS JOIN generate_series(0, 7) ii(i)
+              CROSS JOIN samp s
+            ),
+            codes AS (
+              SELECT vec_id, i, j AS code FROM (
+                SELECT vec_id, i, j,
+                       row_number() OVER (PARTITION BY vec_id, i
+                                          ORDER BY dist ASC, j ASC) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ),
+            rec AS (
+              SELECT cd.vec_id,
+                     flatten(list(list_slice(s.u, cd.i * 8 + 1, cd.i * 8 + 8)
+                                  ORDER BY cd.i)) AS recon
+              FROM codes cd JOIN samp s ON s.j = cd.code
+              GROUP BY cd.vec_id
+            ),
+            qdot AS (
+              SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
+                     list_sum(list_transform(generate_series(1, 64),
+                       p -> q.u[p] * r.recon[p])) AS qscore
+              FROM nv q JOIN rec r ON q.vec_id <> r.vec_id
+            ),
+            topm AS (
+              SELECT query_id, corpus_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qscore DESC, corpus_id ASC) AS rm
+              FROM qdot
+            ),
+            rr AS (
+              SELECT t.query_id, t.corpus_id,
+                     list_sum(list_transform(generate_series(1, len(q.u)),
+                                             i -> q.u[i] * c.u[i])) AS score
+              FROM topm t
+              JOIN nv q ON q.vec_id = t.query_id
+              JOIN nv c ON c.vec_id = t.corpus_id
+              WHERE t.rm <= 20
+            )
+            SELECT query_id, corpus_id, score FROM (
+              SELECT rr.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, corpus_id ASC) AS rn
+              FROM rr
+            ) WHERE rn <= 5
         """,
     }

@@ -495,6 +495,197 @@ def knn_sq8(
     )
 
 
+def pq_train(
+    corpus: DataFrame,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    seed: int = 42,
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+) -> tuple[list[float], int]:
+    """Deterministic PQ codebook: the normalized vectors of the ``k_sub``
+    corpus rows with the smallest md5-derived keys (the same seeded
+    sample-member idiom as ``knn_ivf(quantizer='sample')`` — replayable by
+    a SQL oracle, no Lloyd iterations), each split into ``m_sub``
+    subvectors. Returns (flat codebook, d): codeword j of subspace i lives
+    at ``flat[(i*k_sub + j)*dsub : ...+dsub]``. One bounded job — k_sub
+    rows collected regardless of corpus size (FAISS likewise trains PQ on
+    a sample)."""
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 10
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = (
+        corpus.select(
+            _norm(vec_col).alias("_v"),
+            key.alias("_s"),
+            F.col(id_col).cast("string").alias("_id"),
+        )
+        .orderBy("_s", "_id")
+        .limit(k_sub)
+        .collect()
+    )
+    if len(rows) < k_sub:
+        raise ValueError(f"pq_train: corpus smaller than k_sub={k_sub}")
+    d = len(rows[0]["_v"])
+    if d % m_sub != 0:
+        raise ValueError(f"pq_train: dim {d} not divisible by m_sub={m_sub}")
+    dsub = d // m_sub
+    flat: list[float] = []
+    for i in range(m_sub):
+        for j in range(k_sub):
+            flat.extend(float(x) for x in rows[j]["_v"][i * dsub : (i + 1) * dsub])
+    return flat, d
+
+
+def _pq_code_col(flat: list[float], m_sub: int, k_sub: int, dsub: int) -> "F.Column":
+    """codes[i] = argmin_j ||x_sub_i - codeword_ij||^2 over a normalized
+    vector column ``_v`` — triple-nested higher-order functions, pure
+    codegen (per-row cost m*k*dsub multiply-adds). The distance fold is
+    dimension-sequential and ties keep the SMALLEST codeword index
+    (strict-less fold), so a SQL argmin ordered by (dist, code) replays
+    the codes exactly."""
+    cw = F.array(*[F.lit(x) for x in flat])
+    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+
+    def best_code(i):
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(k_sub - 1)),
+            F.struct(
+                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("j")
+            ),
+            lambda acc, jj: F.when(
+                _pq_dist(i, jj, dsub, k_sub, cw) < acc["d"],
+                F.struct(
+                    _pq_dist(i, jj, dsub, k_sub, cw).alias("d"),
+                    jj.cast("int").alias("j"),
+                ),
+            ).otherwise(acc),
+        )["j"]
+
+    return F.transform(subs, lambda i: best_code(i))
+
+
+def _pq_dist(i, jj, dsub, k_sub, cw):
+    """||x_sub_i - codeword_i_jj||^2, dimension-sequential left fold."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(dsub - 1)),
+        F.lit(0.0),
+        lambda acc, dd: acc
+        + (
+            F.element_at(F.col("_v"), i * F.lit(dsub) + dd + 1)
+            - F.element_at(cw, (i * F.lit(k_sub) + jj) * F.lit(dsub) + dd + 1)
+        )
+        * (
+            F.element_at(F.col("_v"), i * F.lit(dsub) + dd + 1)
+            - F.element_at(cw, (i * F.lit(k_sub) + jj) * F.lit(dsub) + dd + 1)
+        ),
+    )
+
+
+def _pq_recon_col(flat: list[float], m_sub: int, k_sub: int, dsub: int) -> "F.Column":
+    """Reconstruction from a ``_codes`` column: concatenation of the chosen
+    codewords (d doubles, built on the fly from the broadcast literal
+    codebook — the STORED representation stays the m-byte code array)."""
+    cw = F.array(*[F.lit(x) for x in flat])
+    return F.flatten(
+        F.zip_with(
+            F.col("_codes"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda c, i: F.slice(cw, (i * F.lit(k_sub) + c) * F.lit(dsub) + 1, dsub),
+        )
+    )
+
+
+def knn_pq(
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    k: int,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank_factor: int = 4,
+    seed: int = 42,
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Product-quantized top-k with exact re-rank (FAISS ``PQ{m}``
+    asymmetric-distance parity; the 10^12-vector memory story: m small
+    codes per vector — here 8 codes of 4 bits' worth — instead of d
+    floats).
+
+    Stages: (1) deterministic sampled codebook (``pq_train``); (2) encode
+    the corpus: per subspace, the L2-nearest codeword (tie -> smallest
+    index); (3) ADC scan: approximate score = dot(query, reconstruction)
+    — the reconstruction is materialized per candidate on the fly from
+    the broadcast codebook, the stored column is the m-entry code array;
+    (4) exact re-rank of the top ``rerank_factor * k`` per query. Every
+    float fold is dimension-sequential, so a SQL oracle replays codes,
+    approximate scores and the final exact scores bit-for-bit.
+
+    Like SQ8 the scan is exhaustive (PQ compresses; IVF cells prune) —
+    compose with ``knn_ivf`` cells at full scale. ``corpus=None`` ->
+    self-search.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), _norm(vec_col).alias("_v"))
+    c = (
+        q.select(F.col("query_id").alias("corpus_id"), "_v")
+        if corpus is None
+        else corpus.select(F.col(id_col).alias("corpus_id"), _norm(vec_col).alias("_v"))
+    )
+    flat, d = pq_train(
+        queries if corpus is None else corpus, m_sub, k_sub, seed, vec_col, id_col
+    )
+    dsub = d // m_sub
+    enc = c.select(
+        "corpus_id", _pq_code_col(flat, m_sub, k_sub, dsub).alias("_codes")
+    )
+    scored = (
+        q.crossJoin(enc)
+        .where(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("_recon", _pq_recon_col(flat, m_sub, k_sub, dsub))
+        .withColumn(
+            "qscore",
+            F.aggregate(
+                F.zip_with("_v", "_recon", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    m = max(int(rerank_factor) * k, k)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("corpus_id").asc()
+    )
+    cand = (
+        scored.withColumn("_rm", F.row_number().over(wq))
+        .where(F.col("_rm") <= m)
+        .select("query_id", "corpus_id")
+    )
+    rr = (
+        cand.join(q.select("query_id", F.col("_v").alias("_qv")), "query_id")
+        .join(c.select("corpus_id", F.col("_v").alias("_cv")), "corpus_id")
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        rr.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "corpus_id", "score")
+    )
+
+
 def deepblocker_topk(
     left: DataFrame,
     right: DataFrame | None = None,

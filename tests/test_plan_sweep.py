@@ -44,6 +44,7 @@ EXACT_BASELINES = {
     "range_search_embeddings",
     "deepblocker_pairs",
     "knn_sq8",
+    "knn_pq",  # PQ compresses the exhaustive ADC scan; IVF cells prune
 }
 
 # queries whose plan contains a deliberate cross join against a CONFIG-

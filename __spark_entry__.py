@@ -1177,6 +1177,27 @@ def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fs_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 end-to-end probabilistic record linkage: token-blocking pairs ->
+    agreement vectors -> supervised m/u -> likelihood-ratio decision
+    (lr >= 50) -> transitive clustering with singletons. The full FS
+    pipeline as an alternative decision model to Jaccard thresholding,
+    oracle-replayed through the recursive transitive closure."""
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+    from continuousfilteringbenchmark_spark.operators.cluster import (
+        clusters_with_singletons,
+    )
+
+    ag = _fs_agreements(spark, sf_dir)
+    w = LK.estimate_mu(ag, _fs_labels(spark, sf_dir), _FS_NAMES)
+    matches = LK.fs_classify(ag, w, _FS_NAMES, min_lr=50.0).select(
+        "left_id", "right_id"
+    )
+    return clusters_with_singletons(
+        _documents(spark, sf_dir), matches, input_distinct=True
+    )
+
+
 def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X27 scalar-quantized dense top-k (FAISS SQ8 parity): per-dim affine
     uint8 codes -> integer code-dot candidate ranking (top 4k per query)
@@ -1354,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_mapping_pairs": q_unique_mapping_pairs,
         "weighted_epsilon_join": q_weighted_epsilon_join,
         "knn_pq": q_knn_pq,
+        "fs_er_clusters": q_fs_er_clusters,
     }
 
 
@@ -1870,6 +1892,26 @@ _FS_WTS_COLS = ",\n                   ".join(
         )
     ]
 )
+
+# per-pair likelihood-ratio CTE (fixed field order, left-associated
+# product), over `agr` and the one-row `wts` — shared by fs_scores and
+# fs_er_clusters
+_FS_LR = """lrt AS (
+              SELECT a.left_id, a.right_id,
+                   (CASE WHEN a.a_lang = 1 THEN w.m_lang / w.u_lang
+                         ELSE (CAST(1 AS DOUBLE) - w.m_lang)
+                              / (CAST(1 AS DOUBLE) - w.u_lang) END)
+                 * (CASE WHEN a.a_source = 1 THEN w.m_source / w.u_source
+                         ELSE (CAST(1 AS DOUBLE) - w.m_source)
+                              / (CAST(1 AS DOUBLE) - w.u_source) END)
+                 * (CASE WHEN a.a_len = 1 THEN w.m_len / w.u_len
+                         ELSE (CAST(1 AS DOUBLE) - w.m_len)
+                              / (CAST(1 AS DOUBLE) - w.u_len) END)
+                 * (CASE WHEN a.a_jac = 1 THEN w.m_jac / w.u_jac
+                         ELSE (CAST(1 AS DOUBLE) - w.m_jac)
+                              / (CAST(1 AS DOUBLE) - w.u_jac) END) AS lr
+              FROM agr a CROSS JOIN wts w
+            )"""
 
 # per-pattern class likelihoods from dyadic-rational init weights, in the
 # same fixed field order as the Spark expression (left-associated product)
@@ -3423,21 +3465,9 @@ def oracle_sql() -> dict[str, str]:
         # (1-m)/(1-u) terms; the weight row is a single-row cross join
         "fs_scores": f"""
             WITH {_FS_AGR},
-            wts AS (SELECT {_FS_WTS_COLS} FROM agr)
-            SELECT a.left_id, a.right_id,
-                   (CASE WHEN a.a_lang = 1 THEN w.m_lang / w.u_lang
-                         ELSE (CAST(1 AS DOUBLE) - w.m_lang)
-                              / (CAST(1 AS DOUBLE) - w.u_lang) END)
-                 * (CASE WHEN a.a_source = 1 THEN w.m_source / w.u_source
-                         ELSE (CAST(1 AS DOUBLE) - w.m_source)
-                              / (CAST(1 AS DOUBLE) - w.u_source) END)
-                 * (CASE WHEN a.a_len = 1 THEN w.m_len / w.u_len
-                         ELSE (CAST(1 AS DOUBLE) - w.m_len)
-                              / (CAST(1 AS DOUBLE) - w.u_len) END)
-                 * (CASE WHEN a.a_jac = 1 THEN w.m_jac / w.u_jac
-                         ELSE (CAST(1 AS DOUBLE) - w.m_jac)
-                              / (CAST(1 AS DOUBLE) - w.u_jac) END) AS lr
-            FROM agr a CROSS JOIN wts w
+            wts AS (SELECT {_FS_WTS_COLS} FROM agr),
+            {_FS_LR}
+            SELECT left_id, right_id, lr FROM lrt
         """,
         # stage 4: one EM E-step per agreement pattern from dyadic-rational
         # init (m=7/8, u=1/8, lambda=1/2 - exactly representable doubles)
@@ -3697,5 +3727,28 @@ def oracle_sql() -> dict[str, str]:
                                               ORDER BY score DESC, corpus_id ASC) AS rn
               FROM rr
             ) WHERE rn <= 5
+        """,
+        # end-to-end Fellegi-Sunter linkage: agreement vectors -> supervised
+        # m/u -> lr >= 50 decision -> transitive closure, min-id clusters +
+        # singletons
+        "fs_er_clusters": f"""
+            WITH RECURSIVE {_FS_AGR},
+            wts AS (SELECT {_FS_WTS_COLS} FROM agr),
+            {_FS_LR},
+            fsm AS (SELECT left_id, right_id FROM lrt WHERE lr >= 50.0),
+            sym AS (
+              SELECT left_id AS src, right_id AS dst FROM fsm
+              UNION ALL
+              SELECT right_id, left_id FROM fsm
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach AS (
+              SELECT node AS a, node AS b FROM nodes
+              UNION
+              SELECT r.a, e.dst FROM reach r JOIN sym e ON e.src = r.b
+            ),
+            cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
+            SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
         """,
     }

@@ -1177,6 +1177,23 @@ def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30 IVF-PQ composition (FAISS IVF16,PQ8 shape): sampled coarse
+    cells prune (nprobe=4 of 16), PQ codes compress the cell contents
+    (8 subspaces x 16 codewords, seed+1 draw), ADC scan + exact re-rank
+    of the top 4k. Fully deterministic; the oracle replays centroid draw,
+    routing, codes, ADC scores and the re-rank."""
+    from continuousfilteringbenchmark_spark.operators.dense import knn_ivfpq
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    return knn_ivfpq(
+        vecs, None, k=5, n_cells=16, nprobe=4, m_sub=8, k_sub=16,
+        rerank_factor=4, id_col="vec_id",
+    )
+
+
 def q_fs_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24 end-to-end probabilistic record linkage: token-blocking pairs ->
     agreement vectors -> supervised m/u -> likelihood-ratio decision
@@ -1376,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_epsilon_join": q_weighted_epsilon_join,
         "knn_pq": q_knn_pq,
         "fs_er_clusters": q_fs_er_clusters,
+        "knn_ivfpq": q_knn_ivfpq,
     }
 
 
@@ -1892,6 +1910,47 @@ _FS_WTS_COLS = ",\n                   ".join(
         )
     ]
 )
+
+def _pq_cte(seed: int) -> str:
+    """PQ codebook/encode/reconstruction CTE block over `nv` (embeddings,
+    d=64, m=8 subspaces, k=16 codewords): sampled codebook = the 16 rows
+    with the smallest md5("id:seed") keys; per-subspace L2-nearest code
+    (tie: smallest); recon = concatenated codewords in subspace order."""
+    return f"""sampr AS (
+              SELECT u,
+                     row_number() OVER (
+                       ORDER BY CAST('0x' || substring(
+                                  md5(CAST(vec_id AS VARCHAR) || ':{seed}'), 1, 10)
+                                AS BIGINT) ASC,
+                                CAST(vec_id AS VARCHAR) ASC) - 1 AS j
+              FROM nv
+            ),
+            samp AS (SELECT u, j FROM sampr WHERE j < 16),
+            dists AS (
+              SELECT n.vec_id, ii.i, s.j,
+                     list_sum(list_transform(generate_series(1, 8),
+                       dd -> (n.u[ii.i * 8 + dd] - s.u[ii.i * 8 + dd])
+                           * (n.u[ii.i * 8 + dd] - s.u[ii.i * 8 + dd]))) AS dist
+              FROM nv n
+              CROSS JOIN generate_series(0, 7) ii(i)
+              CROSS JOIN samp s
+            ),
+            pqcodes AS (
+              SELECT vec_id, i, j AS code FROM (
+                SELECT vec_id, i, j,
+                       row_number() OVER (PARTITION BY vec_id, i
+                                          ORDER BY dist ASC, j ASC) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ),
+            rec AS (
+              SELECT cd.vec_id,
+                     flatten(list(list_slice(s.u, cd.i * 8 + 1, cd.i * 8 + 8)
+                                  ORDER BY cd.i)) AS recon
+              FROM pqcodes cd JOIN samp s ON s.j = cd.code
+              GROUP BY cd.vec_id
+            )"""
+
 
 # per-pair likelihood-ratio CTE (fixed field order, left-associated
 # product), over `agr` and the one-row `wts` — shared by fs_scores and
@@ -3667,40 +3726,7 @@ def oracle_sql() -> dict[str, str]:
         # dot(query, reconstruction), top-20 per query, exact re-rank to 5
         "knn_pq": f"""
             WITH {_NVEC},
-            sampr AS (
-              SELECT u,
-                     row_number() OVER (
-                       ORDER BY CAST('0x' || substring(
-                                  md5(CAST(vec_id AS VARCHAR) || ':42'), 1, 10)
-                                AS BIGINT) ASC,
-                                CAST(vec_id AS VARCHAR) ASC) - 1 AS j
-              FROM nv
-            ),
-            samp AS (SELECT u, j FROM sampr WHERE j < 16),
-            dists AS (
-              SELECT n.vec_id, ii.i, s.j,
-                     list_sum(list_transform(generate_series(1, 8),
-                       dd -> (n.u[ii.i * 8 + dd] - s.u[ii.i * 8 + dd])
-                           * (n.u[ii.i * 8 + dd] - s.u[ii.i * 8 + dd]))) AS dist
-              FROM nv n
-              CROSS JOIN generate_series(0, 7) ii(i)
-              CROSS JOIN samp s
-            ),
-            codes AS (
-              SELECT vec_id, i, j AS code FROM (
-                SELECT vec_id, i, j,
-                       row_number() OVER (PARTITION BY vec_id, i
-                                          ORDER BY dist ASC, j ASC) AS rn
-                FROM dists
-              ) WHERE rn = 1
-            ),
-            rec AS (
-              SELECT cd.vec_id,
-                     flatten(list(list_slice(s.u, cd.i * 8 + 1, cd.i * 8 + 8)
-                                  ORDER BY cd.i)) AS recon
-              FROM codes cd JOIN samp s ON s.j = cd.code
-              GROUP BY cd.vec_id
-            ),
+            {_pq_cte(42)},
             qdot AS (
               SELECT q.vec_id AS query_id, r.vec_id AS corpus_id,
                      list_sum(list_transform(generate_series(1, 64),
@@ -3712,6 +3738,64 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY query_id
                                         ORDER BY qscore DESC, corpus_id ASC) AS rm
               FROM qdot
+            ),
+            rr AS (
+              SELECT t.query_id, t.corpus_id,
+                     list_sum(list_transform(generate_series(1, len(q.u)),
+                                             i -> q.u[i] * c.u[i])) AS score
+              FROM topm t
+              JOIN nv q ON q.vec_id = t.query_id
+              JOIN nv c ON c.vec_id = t.corpus_id
+              WHERE t.rm <= 20
+            )
+            SELECT query_id, corpus_id, score FROM (
+              SELECT rr.*, row_number() OVER (PARTITION BY query_id
+                                              ORDER BY score DESC, corpus_id ASC) AS rn
+              FROM rr
+            ) WHERE rn <= 5
+        """,
+        # IVF-PQ: seed-42 sampled centroids route (corpus 1 cell, queries
+        # probe 4 of 16); seed-43 PQ codebook scores dot(query, recon)
+        # inside probed cells; top-20 per query re-rank exactly to top-5
+        "knn_ivfpq": f"""
+            WITH {_NVEC},
+            keyed AS (
+              SELECT vec_id, u,
+                     CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR) || ':42'),
+                                            1, 10) AS BIGINT) AS s
+              FROM nv
+            ),
+            cent AS (
+              SELECT row_number() OVER (ORDER BY s ASC,
+                                        CAST(vec_id AS VARCHAR) ASC) - 1 AS cell,
+                     u AS cu
+              FROM (SELECT * FROM keyed
+                    ORDER BY s ASC, CAST(vec_id AS VARCHAR) ASC LIMIT 16)
+            ),
+            asg AS (
+              SELECT n.vec_id, c.cell, n.u,
+                     row_number() OVER (
+                       PARTITION BY n.vec_id
+                       ORDER BY list_sum(list_transform(generate_series(1, len(n.u)),
+                                                        i -> n.u[i] * c.cu[i])) DESC,
+                                c.cell ASC) AS rn
+              FROM nv n CROSS JOIN cent c
+            ),
+            {_pq_cte(43)},
+            sc AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+                     list_sum(list_transform(generate_series(1, 64),
+                                             p -> q.u[p] * r.recon[p])) AS qscore
+              FROM (SELECT * FROM asg WHERE rn <= 4) q
+              JOIN (SELECT * FROM asg WHERE rn = 1) c USING (cell)
+              JOIN rec r ON r.vec_id = c.vec_id
+              WHERE q.vec_id <> c.vec_id
+            ),
+            topm AS (
+              SELECT query_id, corpus_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY qscore DESC, corpus_id ASC) AS rm
+              FROM sc
             ),
             rr AS (
               SELECT t.query_id, t.corpus_id,

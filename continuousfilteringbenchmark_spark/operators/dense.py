@@ -130,6 +130,33 @@ def knn_exact(
     )
 
 
+def _sample_centers(
+    corpus: DataFrame, n: int, seed: int, vec_col: str, id_col: str
+) -> list:
+    """Seeded sample draw: the normalized vectors of the ``n`` corpus rows
+    with the smallest md5-derived keys (ties by string id) — deterministic,
+    one bounded job, and exactly replayable by a SQL oracle (md5 over
+    "id:seed", the same idiom as operators/lsh.py)."""
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 10
+        ),
+        16,
+        10,
+    ).cast("long")
+    rows = (
+        corpus.select(
+            _norm(vec_col).alias("_v"),
+            key.alias("_s"),
+            F.col(id_col).cast("string").alias("_id"),
+        )
+        .orderBy("_s", "_id")
+        .limit(n)
+        .collect()
+    )
+    return [list(r["_v"]) for r in rows]
+
+
 def _assign_cells(df: DataFrame, centers, nprobe: int, vec_col: str, id_col: str, out_id: str) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest coarse cells (dot product
     against the broadcast centroid table — centroids are tiny)."""
@@ -187,27 +214,7 @@ def knn_ivf(
     if quantizer not in ("kmeans", "sample"):
         raise ValueError("quantizer must be 'kmeans' or 'sample'")
     if quantizer == "sample":
-        # seeded sample: smallest n_cells md5-derived keys (ties by id);
-        # cell index = rank in that order. md5 over "id:seed" keeps the
-        # draw replayable on any engine (same idiom as operators/lsh.py).
-        key = F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 10
-            ),
-            16,
-            10,
-        ).cast("long")
-        rows = (
-            corpus.select(
-                _norm(vec_col).alias("_v"),
-                key.alias("_s"),
-                F.col(id_col).cast("string").alias("_id"),
-            )
-            .orderBy("_s", "_id")
-            .limit(n_cells)
-            .collect()
-        )
-        centers = [list(r["_v"]) for r in rows]
+        centers = _sample_centers(corpus, n_cells, seed, vec_col, id_col)
     else:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
@@ -671,6 +678,102 @@ def knn_pq(
             "score",
             F.aggregate(
                 F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        rr.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "corpus_id", "score")
+    )
+
+
+def knn_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame | None,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m_sub: int = 8,
+    k_sub: int = 16,
+    rerank_factor: int = 4,
+    seed: int = 42,
+    vec_col: str = "vec",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN composition (FAISS
+    ``IVF{n},PQ{m}`` shape) — coarse cells PRUNE the candidate set, PQ
+    codes COMPRESS what each cell stores, exact re-rank restores
+    full-precision ordering of the survivors.
+
+    Plan: sampled deterministic centroids route the corpus (1 cell each)
+    and queries (``nprobe`` cells); inside probed cells the ADC scan
+    scores dot(query, PQ reconstruction) over the m-entry code arrays; the
+    top ``rerank_factor * k`` per query re-rank by exact cosine. Candidate
+    volume is ~``nprobe/n_cells`` of the corpus per query and each stored
+    vector is m codes, so both the scan FLOPs and the memory footprint
+    shrink — the composition the SQ8/PQ docstrings point to. Simplification
+    vs FAISS: codes encode the raw normalized vector, not the cell
+    residual (documented contract; residual encoding needs per-cell
+    codebooks, which breaks the single-broadcast-codebook plan).
+
+    The PQ codebook draws with ``seed + 1`` so codewords and centroids are
+    distinct samples. Fully deterministic — centroid draw, cell routing,
+    codes, ADC scores and re-rank are all replayable by a SQL oracle.
+    ``corpus=None`` -> self-search.
+    """
+    self_search = corpus is None
+    base = queries if self_search else corpus
+    centers = _sample_centers(base, n_cells, seed, vec_col, id_col)
+    flat, d = pq_train(base, m_sub, k_sub, seed + 1, vec_col, id_col)
+    dsub = d // m_sub
+    c_cells = _assign_cells(base, centers, 1, vec_col, id_col, "corpus_id")
+    q_cells = _assign_cells(queries, centers, nprobe, vec_col, id_col, "query_id")
+    enc = c_cells.select(
+        "corpus_id", "cell", _pq_code_col(flat, m_sub, k_sub, dsub).alias("_codes")
+    )
+    # pin the cell join's parallelism (AQE sizes reducers by INPUT bytes and
+    # would serialize the fan-out re-rank — same rationale as knn_ivf)
+    npart = queries.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        q_cells.select("query_id", "cell", F.col("_v").alias("_qv"))
+        .repartition(npart, "cell")
+        .join(enc.repartition(npart, "cell"), "cell")
+        .where(F.col("query_id") != F.col("corpus_id"))
+    )
+    cand = cand.withColumn(
+        "_recon", _pq_recon_col(flat, m_sub, k_sub, dsub)
+    ).withColumn(
+        "qscore",
+        F.aggregate(
+            F.zip_with("_qv", "_recon", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    m = max(int(rerank_factor) * k, k)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("corpus_id").asc()
+    )
+    top = (
+        cand.withColumn("_rm", F.row_number().over(wq))
+        .where(F.col("_rm") <= m)
+        .select("query_id", "corpus_id")
+    )
+    qn = queries.select(F.col(id_col).alias("query_id"), _norm(vec_col).alias("_fqv"))
+    cn = base.select(F.col(id_col).alias("corpus_id"), _norm(vec_col).alias("_fcv"))
+    rr = (
+        top.join(qn, "query_id")
+        .join(cn, "corpus_id")
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with("_fqv", "_fcv", lambda a, b: a * b),
                 F.lit(0.0),
                 lambda a, x: a + x,
             ),

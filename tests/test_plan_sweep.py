@@ -51,7 +51,7 @@ EXACT_BASELINES = {
 # BOUNDED broadcast table (the IVF coarse-quantizer assignment: every vector
 # scores against the n_cells centroid rows — FAISS's own IVF assignment
 # shape, O(n x n_cells) with n_cells a constant, never O(n^2))
-BOUNDED_DIM_BROADCAST_OK = {"knn_ivf_approx", "knn_ivf_embeddings"}
+BOUNDED_DIM_BROADCAST_OK = {"knn_ivf_approx", "knn_ivf_embeddings", "knn_ivfpq"}
 
 # queries whose plan contains a deliberate broadcast-scalar cross join
 # (1-row aggregate side) — BNLJ is the correct physical operator for those

@@ -1215,6 +1215,25 @@ def q_fs_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ari_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 Adjusted-Rand components: one ALL-INTEGER row (n, pair sums over
+    contingency cells / system clusters / gold clusters) for the
+    ``er_clusters`` assignment vs the exact-duplicate gold partition; the
+    float ARI scalar is ``eval.adjusted_rand`` (unit-tested)."""
+    from pyspark.sql import Window
+
+    from continuousfilteringbenchmark_spark.eval import rand_contingency
+
+    docs = _documents(spark, sf_dir)
+    gold = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.lower(F.trim("text"))))
+        .alias("cluster_id"),
+    )
+    return rand_contingency(q_er_clusters(spark, sf_dir), gold)
+
+
 def q_knn_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X27 scalar-quantized dense top-k (FAISS SQ8 parity): per-dim affine
     uint8 codes -> integer code-dot candidate ranking (top 4k per query)
@@ -1394,6 +1413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq": q_knn_pq,
         "fs_er_clusters": q_fs_er_clusters,
         "knn_ivfpq": q_knn_ivfpq,
+        "ari_components": q_ari_components,
     }
 
 
@@ -3603,6 +3623,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT bj.doc_id, csz.c_size, gsz.g_size, ov.overlap
             FROM bj
             JOIN csz USING (c) JOIN gsz USING (g) JOIN ov USING (c, g)
+        """,
+        # Adjusted-Rand integer components of er_clusters vs the
+        # exact-duplicate gold partition (x*(x-1) is even -> // 2 lossless)
+        "ari_components": f"""
+            WITH RECURSIVE {_ER_CC},
+            gold AS (
+              SELECT doc_id,
+                     min(doc_id) OVER (PARTITION BY lower(trim(text))) AS gold_id
+              FROM documents
+            ),
+            bj AS (
+              SELECT a.doc_id, a.cluster_id AS c, g.gold_id AS g
+              FROM assign a JOIN gold g ON g.doc_id = a.doc_id
+            ),
+            cells AS (
+              SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS sum_pairs_cells
+              FROM (SELECT count(*) AS n FROM bj GROUP BY c, g)
+            ),
+            sysp AS (
+              SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS sum_pairs_sys
+              FROM (SELECT count(*) AS n FROM bj GROUP BY c)
+            ),
+            goldp AS (
+              SELECT CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS sum_pairs_gold
+              FROM (SELECT count(*) AS n FROM bj GROUP BY g)
+            ),
+            nn AS (SELECT count(*) AS n_docs FROM bj)
+            SELECT nn.n_docs, cells.sum_pairs_cells, sysp.sum_pairs_sys,
+                   goldp.sum_pairs_gold
+            FROM nn CROSS JOIN cells CROSS JOIN sysp CROSS JOIN goldp
         """,
         # SQ8 quantized kNN: per-dim (min, range) over the normalized
         # corpus -> uint8 codes -> integer centered-code dot, top-4k per

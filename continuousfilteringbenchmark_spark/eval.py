@@ -113,6 +113,61 @@ def bcubed_contingency(clusters: DataFrame, gold: DataFrame) -> DataFrame:
     )
 
 
+def rand_contingency(clusters: DataFrame, gold: DataFrame) -> DataFrame:
+    """ONE row of the four integer Rand-index components (Hubert & Arabie
+    '85): n docs, sum over contingency cells of C(n_ij, 2), sum over system
+    clusters of C(a_i, 2), sum over gold clusters of C(b_j, 2). All exact
+    integer arithmetic (x*(x-1) is even, so `div 2` is lossless) — any SQL
+    engine reproduces the row bit-for-bit; the float ARI scalar is
+    ``adjusted_rand``. BIGINT accumulators are good to ~10^9 docs per
+    evaluation scope; at full 10^12-doc scope switch the sums to
+    decimal(38,0) (the shuffle shape is unchanged)."""
+    sys_a = clusters.select("doc_id", F.col("cluster_id").alias("_c"))
+    gold_a = gold.select("doc_id", F.col("cluster_id").alias("_g"))
+    j = sys_a.join(gold_a, "doc_id")
+
+    def _pairs(cnt):
+        return F.expr(f"({cnt} * ({cnt} - 1)) div 2")
+
+    cells = (
+        j.groupBy("_c", "_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(_pairs("_n")).alias("sum_pairs_cells"))
+    )
+    sysp = (
+        j.groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(_pairs("_n")).alias("sum_pairs_sys"))
+    )
+    goldp = (
+        j.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum(_pairs("_n")).alias("sum_pairs_gold"))
+    )
+    n = j.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n.crossJoin(F.broadcast(cells))
+        .crossJoin(F.broadcast(sysp))
+        .crossJoin(F.broadcast(goldp))
+        .select("n_docs", "sum_pairs_cells", "sum_pairs_sys", "sum_pairs_gold")
+    )
+
+
+def adjusted_rand(clusters: DataFrame, gold: DataFrame) -> float:
+    """Adjusted Rand Index scalar from the integer components: 1.0 for an
+    identical partition, ~0 for random agreement."""
+    r = rand_contingency(clusters, gold).collect()[0]
+    n2 = r["n_docs"] * (r["n_docs"] - 1) // 2
+    if n2 == 0:
+        return 1.0
+    idx = r["sum_pairs_cells"]
+    exp = r["sum_pairs_sys"] * r["sum_pairs_gold"] / n2
+    mx = (r["sum_pairs_sys"] + r["sum_pairs_gold"]) / 2
+    if mx == exp:
+        return 1.0
+    return float((idx - exp) / (mx - exp))
+
+
 @dataclass
 class BCubedMetrics:
     precision: float

@@ -71,6 +71,7 @@ SCALAR_JOIN_OK = {
     "schema_based_topk",
     "fs_scores",  # ONE-ROW m/u weight table broadcast (linkage.py)
     "weighted_epsilon_join",  # ONE-ROW corpus-count broadcast (joins.py)
+    "ari_components",  # four ONE-ROW component aggregates cross-joined
     "best_match_pairs",  # over clean_clean_er (purging cutoff scalar)
     "unique_mapping_pairs",  # same upstream scalar join
 }

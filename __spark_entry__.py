@@ -1215,6 +1215,32 @@ def q_fs_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26 cluster health surface: per non-singleton er_clusters cluster,
+    the integer (n_members, n_edges, n_possible, max_source_n) row — edge
+    density flags chain-collapse (CC merging A-B-C chains), source purity
+    flags single-source clusters in cross-source jobs."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.operators.cluster import (
+        cluster_diagnostics,
+        clusters_with_singletons,
+    )
+    from continuousfilteringbenchmark_spark.plans.pipeline import score_pairs
+
+    documents = _documents(spark, sf_dir)
+    blocks = _doc_blocks(documents).persist()
+    purged = B.block_purging(blocks, clean_clean=False)
+    filtered = B.block_filtering(purged, 0.5, clean_clean=False).persist()
+    pairs = B.pairs_from_blocks(filtered, clean_clean=False)
+    toks = _word_toks(documents).persist()
+    matches = score_pairs(pairs, toks, "jaccard", min_score=0.5).select(
+        "left_id", "right_id"
+    )
+    matches = matches.persist()
+    clusters = clusters_with_singletons(documents, matches, input_distinct=True)
+    return cluster_diagnostics(clusters, matches, docs=documents)
+
+
 def q_ari_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X26 Adjusted-Rand components: one ALL-INTEGER row (n, pair sums over
     contingency cells / system clusters / gold clusters) for the
@@ -1414,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_er_clusters": q_fs_er_clusters,
         "knn_ivfpq": q_knn_ivfpq,
         "ari_components": q_ari_components,
+        "cluster_diagnostics": q_cluster_diagnostics,
     }
 
 
@@ -3653,6 +3680,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT nn.n_docs, cells.sum_pairs_cells, sysp.sum_pairs_sys,
                    goldp.sum_pairs_gold
             FROM nn CROSS JOIN cells CROSS JOIN sysp CROSS JOIN goldp
+        """,
+        # per-cluster density + source purity over the er_clusters chain
+        # (matches/assign CTEs shared with er_clusters)
+        "cluster_diagnostics": f"""
+            WITH RECURSIVE {_ER_CC},
+            cstats AS (
+              SELECT cluster_id, count(*) AS n_members
+              FROM assign GROUP BY cluster_id HAVING count(*) > 1
+            ),
+            cedges AS (
+              SELECT a.cluster_id, count(*) AS n_edges
+              FROM matches m JOIN assign a ON a.doc_id = m.left_id
+              GROUP BY a.cluster_id
+            ),
+            srcn AS (
+              SELECT cluster_id, max(n) AS max_source_n FROM (
+                SELECT a.cluster_id, d.source, count(*) AS n
+                FROM assign a JOIN documents d ON d.doc_id = a.doc_id
+                GROUP BY a.cluster_id, d.source
+              ) GROUP BY cluster_id
+            )
+            SELECT s.cluster_id, s.n_members,
+                   coalesce(e.n_edges, 0) AS n_edges,
+                   CAST((s.n_members * (s.n_members - 1)) // 2 AS BIGINT)
+                     AS n_possible,
+                   n.max_source_n
+            FROM cstats s
+            LEFT JOIN cedges e ON e.cluster_id = s.cluster_id
+            JOIN srcn n ON n.cluster_id = s.cluster_id
         """,
         # SQ8 quantized kNN: per-dim (min, range) over the normalized
         # corpus -> uint8 codes -> integer centered-code dot, top-4k per

@@ -217,6 +217,64 @@ def connected_components(
                 sc._jsc.sc().setCheckpointDir(None)
 
 
+def cluster_diagnostics(
+    clusters: DataFrame,
+    matches: DataFrame,
+    docs: DataFrame | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-cluster health surface for transitive clustering — the
+    chain-collapse detector: connected components happily merge A-B-C-D
+    chains where only adjacent pairs matched, and at corpus scale the only
+    way to notice is a density metric, not eyeballing.
+
+    Output per non-singleton cluster, ALL-INTEGER (exactly reproducible):
+
+        (cluster_id, n_members, n_edges, n_possible, max_source_n)
+
+    * ``n_edges`` / ``n_possible`` (= C(n_members, 2)) is the edge density
+      — a value near n_members-1 out of n_possible flags a chain/star
+      collapse, near n_possible a genuine clique;
+    * ``max_source_n`` (when ``docs`` with ``source_col`` is given) is the
+      purity numerator — max_source_n / n_members near 1.0 means the
+      cluster is single-source (suspicious for cross-source linkage jobs).
+
+    Three aggregations on cluster keys; no pair materialization beyond the
+    match edges that already exist.
+    """
+    asg = clusters.select(F.col(id_col).alias("_id"), "cluster_id")
+    stats = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    stats = stats.where(F.col("n_members") > 1).withColumn(
+        "n_possible", F.expr("(n_members * (n_members - 1)) div 2")
+    )
+    edges = (
+        matches.select(F.col("left_id").alias("_id"), "right_id")
+        .join(asg, "_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    out = stats.join(edges, "cluster_id", "left").withColumn(
+        "n_edges", F.coalesce("n_edges", F.lit(0))
+    )
+    if docs is not None:
+        src_n = (
+            asg.join(
+                docs.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src")),
+                "_id",
+            )
+            .groupBy("cluster_id", "_src")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("cluster_id")
+            .agg(F.max("_n").alias("max_source_n"))
+        )
+        out = out.join(src_n, "cluster_id")
+        return out.select(
+            "cluster_id", "n_members", "n_edges", "n_possible", "max_source_n"
+        )
+    return out.select("cluster_id", "n_members", "n_edges", "n_possible")
+
+
 def clusters_with_singletons(
     docs: DataFrame,
     pairs: DataFrame,

@@ -149,3 +149,37 @@ def test_cc_restores_unset_checkpoint_dir(spark, tmp_path):
     finally:
         if saved is not None:
             sc._jsc.sc().setCheckpointDir(saved)
+
+
+def test_cluster_diagnostics(spark):
+    from continuousfilteringbenchmark_spark.operators.cluster import (
+        cluster_diagnostics,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (99, 99)],
+        "doc_id int, cluster_id int",
+    )
+    # cluster 1: chain 1-2-3-4 (3 edges of 6 possible); cluster 10: clique
+    matches = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "left_id int, right_id int"
+    )
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "a"), (10, "c"), (11, "c"), (99, "z")],
+        "doc_id int, source string",
+    )
+    got = {
+        r["cluster_id"]: r
+        for r in cluster_diagnostics(clusters, matches, docs=docs).collect()
+    }
+    assert set(got) == {1, 10}  # singleton 99 excluded
+    c1 = got[1]
+    assert (c1["n_members"], c1["n_edges"], c1["n_possible"]) == (4, 3, 6)
+    assert c1["max_source_n"] == 3  # source 'a' x3
+    c10 = got[10]
+    assert (c10["n_members"], c10["n_edges"], c10["n_possible"]) == (2, 1, 1)
+    assert c10["max_source_n"] == 2
+
+    # without docs: no purity column
+    nod = cluster_diagnostics(clusters, matches)
+    assert "max_source_n" not in nod.columns

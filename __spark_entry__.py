@@ -162,10 +162,12 @@ def q_metablocking_cbs_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MB.cnp(MB.weighted_pairs(blocks, "CBS", clean_clean=False), k=3)
 
 
-def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full dirty-ER pipeline over the flat documents table: standard
-    blocking -> purging -> filtering(0.5) -> pairs -> Jaccard >= 0.5 ->
-    connected components (large-star/small-star) with singletons."""
+def _er_chain(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared dirty-ER chain (standard blocking -> purging ->
+    filtering(0.5) -> pairs -> Jaccard >= 0.5 matches -> CC clusters with
+    singletons) — ONE Spark-side definition mirroring the ONE ``_ER_CC``
+    oracle fragment, consumed by q_er_clusters and q_cluster_diagnostics.
+    Returns (documents, matches, clusters)."""
     from continuousfilteringbenchmark_spark.operators import blocking as B
     from continuousfilteringbenchmark_spark.operators.cluster import clusters_with_singletons
     from continuousfilteringbenchmark_spark.plans.pipeline import score_pairs
@@ -181,12 +183,23 @@ def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = B.block_filtering(purged, 0.5, clean_clean=False).persist()
     pairs = B.pairs_from_blocks(filtered, clean_clean=False)
     toks = _word_toks(documents).persist()
+    # persisted: the CC loop consumes matches eagerly at construction, and
+    # diagnostics callers re-read the same table afterwards (freed by
+    # session.clear_session_caches, the bench/sweep contract)
     matches = score_pairs(pairs, toks, "jaccard", min_score=0.5).select(
         "left_id", "right_id"
-    )
+    ).persist()
     # matches are distinct by construction (comparison propagation ends in a
     # pair distinct; scoring is 1-row-in-1-row-out) -> skip the CC init dedup
-    return clusters_with_singletons(documents, matches, input_distinct=True)
+    clusters = clusters_with_singletons(documents, matches, input_distinct=True)
+    return documents, matches, clusters
+
+
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dirty-ER pipeline over the flat documents table: standard
+    blocking -> purging -> filtering(0.5) -> pairs -> Jaccard >= 0.5 ->
+    connected components (large-star/small-star) with singletons."""
+    return _er_chain(spark, sf_dir)[2]
 
 
 def q_ngram_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1112,25 +1125,26 @@ def _fs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fs_agreements(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fs_agreements_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE pass over the blocking chain: agreement vectors PLUS the
+    deterministic label (match == exact normalized-text equality) computed
+    as one more field — the same single-join shape as the ``_FS_AGR``
+    oracle CTE, instead of building the pair/doc-join chain twice and
+    re-joining two identical pair tables."""
     from continuousfilteringbenchmark_spark.operators import blocking as B
     from continuousfilteringbenchmark_spark.operators import linkage as LK
 
     pairs = B.pairs_from_blocks(_doc_blocks(_documents(spark, sf_dir)), clean_clean=False)
-    return LK.agreement_vectors(pairs, _fs_docs(spark, sf_dir), _fs_fields())
-
-
-def _fs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic labels on candidate pairs: match == exact normalized
-    text equality (the exact-duplicate relation, derivable by any engine)."""
-    from continuousfilteringbenchmark_spark.operators import blocking as B
-    from continuousfilteringbenchmark_spark.operators import linkage as LK
-
-    pairs = B.pairs_from_blocks(_doc_blocks(_documents(spark, sf_dir)), clean_clean=False)
-    lab = LK.agreement_vectors(
-        pairs, _fs_docs(spark, sf_dir), {"match": LK.exact_field("norm_text")}
+    ag = LK.agreement_vectors(
+        pairs,
+        _fs_docs(spark, sf_dir),
+        {**_fs_fields(), "match": LK.exact_field("norm_text")},
     )
-    return lab.withColumnRenamed("a_match", "is_match")
+    return ag.withColumnRenamed("a_match", "is_match")
+
+
+def _fs_agreements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fs_agreements_labeled(spark, sf_dir).drop("is_match")
 
 
 def q_fs_agreements(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1148,9 +1162,7 @@ def q_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     of count-ratio doubles (bit-exact in any engine)."""
     from continuousfilteringbenchmark_spark.operators import linkage as LK
 
-    return LK.estimate_mu(
-        _fs_agreements(spark, sf_dir), _fs_labels(spark, sf_dir), _FS_NAMES
-    )
+    return LK.estimate_mu(_fs_agreements_labeled(spark, sf_dir), None, _FS_NAMES)
 
 
 def q_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1159,8 +1171,8 @@ def q_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast one-row weight table, no log-space math (bit-reproducible)."""
     from continuousfilteringbenchmark_spark.operators import linkage as LK
 
-    ag = _fs_agreements(spark, sf_dir)
-    w = LK.estimate_mu(ag, _fs_labels(spark, sf_dir), _FS_NAMES)
+    ag = _fs_agreements_labeled(spark, sf_dir)
+    w = LK.estimate_mu(ag, None, _FS_NAMES)
     return LK.likelihood_ratios(ag, w, _FS_NAMES).select("left_id", "right_id", "lr")
 
 
@@ -1205,8 +1217,8 @@ def q_fs_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters_with_singletons,
     )
 
-    ag = _fs_agreements(spark, sf_dir)
-    w = LK.estimate_mu(ag, _fs_labels(spark, sf_dir), _FS_NAMES)
+    ag = _fs_agreements_labeled(spark, sf_dir)
+    w = LK.estimate_mu(ag, None, _FS_NAMES)
     matches = LK.fs_classify(ag, w, _FS_NAMES, min_lr=50.0).select(
         "left_id", "right_id"
     )
@@ -1220,24 +1232,11 @@ def q_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer (n_members, n_edges, n_possible, max_source_n) row — edge
     density flags chain-collapse (CC merging A-B-C chains), source purity
     flags single-source clusters in cross-source jobs."""
-    from continuousfilteringbenchmark_spark.operators import blocking as B
     from continuousfilteringbenchmark_spark.operators.cluster import (
         cluster_diagnostics,
-        clusters_with_singletons,
     )
-    from continuousfilteringbenchmark_spark.plans.pipeline import score_pairs
 
-    documents = _documents(spark, sf_dir)
-    blocks = _doc_blocks(documents).persist()
-    purged = B.block_purging(blocks, clean_clean=False)
-    filtered = B.block_filtering(purged, 0.5, clean_clean=False).persist()
-    pairs = B.pairs_from_blocks(filtered, clean_clean=False)
-    toks = _word_toks(documents).persist()
-    matches = score_pairs(pairs, toks, "jaccard", min_score=0.5).select(
-        "left_id", "right_id"
-    )
-    matches = matches.persist()
-    clusters = clusters_with_singletons(documents, matches, input_distinct=True)
+    documents, matches, clusters = _er_chain(spark, sf_dir)
     return cluster_diagnostics(clusters, matches, docs=documents)
 
 

@@ -386,6 +386,47 @@ def range_search(
     return pairs.where(F.col("score") >= threshold).select("left_id", "right_id", "score")
 
 
+def _exact_rerank(
+    scored: DataFrame, qn: DataFrame, cn: DataFrame, k: int, rerank_factor: int
+) -> DataFrame:
+    """Shared tail of every quantized-scan operator (SQ8 / PQ / IVF-PQ) —
+    ONE definition of the ordering/tie contract the SQL oracles replay:
+    keep the top ``rerank_factor * k`` candidates per query by
+    (approximate qscore DESC, corpus_id ASC), join the full-precision
+    normalized vectors back (``qn``: (query_id, _qv); ``cn``: (corpus_id,
+    _cv)), score with the exact dimension-sequential dot fold, and emit
+    top-k by (exact score DESC, corpus_id ASC)."""
+    m = max(int(rerank_factor) * k, k)
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("corpus_id").asc()
+    )
+    cand = (
+        scored.withColumn("_rm", F.row_number().over(wq))
+        .where(F.col("_rm") <= m)
+        .select("query_id", "corpus_id")
+    )
+    rr = (
+        cand.join(qn, "query_id")
+        .join(cn, "corpus_id")
+        .withColumn(
+            "score",
+            F.aggregate(
+                F.zip_with("_qv", "_cv", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        rr.withColumn("_rn", F.row_number().over(wr))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "corpus_id", "score")
+    )
+
+
 def sq8_train(corpus: DataFrame, vec_col: str = "vec", id_col: str = "doc_id") -> list:
     """Per-dimension (min, range) scalar-quantizer stats over the NORMALIZED
     corpus (FAISS ``SQ8`` trains the same per-dim affine params). One
@@ -471,34 +512,12 @@ def knn_sq8(
             ),
         )
     )
-    m = max(int(rerank_factor) * k, k)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qscore").desc(), F.col("corpus_id").asc()
-    )
-    cand = (
-        scored.withColumn("_rm", F.row_number().over(wq))
-        .where(F.col("_rm") <= m)
-        .select("query_id", "corpus_id")
-    )
-    rr = (
-        cand.join(q.select("query_id", F.col("_v").alias("_qv")), "query_id")
-        .join(c.select("corpus_id", F.col("_v").alias("_cv")), "corpus_id")
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.zip_with("_qv", "_cv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        rr.withColumn("_rn", F.row_number().over(wr))
-        .where(F.col("_rn") <= k)
-        .select("query_id", "corpus_id", "score")
+    return _exact_rerank(
+        scored,
+        q.select("query_id", F.col("_v").alias("_qv")),
+        c.select("corpus_id", F.col("_v").alias("_cv")),
+        k,
+        rerank_factor,
     )
 
 
@@ -518,33 +537,17 @@ def pq_train(
     at ``flat[(i*k_sub + j)*dsub : ...+dsub]``. One bounded job — k_sub
     rows collected regardless of corpus size (FAISS likewise trains PQ on
     a sample)."""
-    key = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 10
-        ),
-        16,
-        10,
-    ).cast("long")
-    rows = (
-        corpus.select(
-            _norm(vec_col).alias("_v"),
-            key.alias("_s"),
-            F.col(id_col).cast("string").alias("_id"),
-        )
-        .orderBy("_s", "_id")
-        .limit(k_sub)
-        .collect()
-    )
-    if len(rows) < k_sub:
+    centers = _sample_centers(corpus, k_sub, seed, vec_col, id_col)
+    if len(centers) < k_sub:
         raise ValueError(f"pq_train: corpus smaller than k_sub={k_sub}")
-    d = len(rows[0]["_v"])
+    d = len(centers[0])
     if d % m_sub != 0:
         raise ValueError(f"pq_train: dim {d} not divisible by m_sub={m_sub}")
     dsub = d // m_sub
     flat: list[float] = []
     for i in range(m_sub):
         for j in range(k_sub):
-            flat.extend(float(x) for x in rows[j]["_v"][i * dsub : (i + 1) * dsub])
+            flat.extend(float(x) for x in centers[j][i * dsub : (i + 1) * dsub])
     return flat, d
 
 
@@ -559,18 +562,18 @@ def _pq_code_col(flat: list[float], m_sub: int, k_sub: int, dsub: int) -> "F.Col
     subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
 
     def best_code(i):
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(k_sub - 1)),
-            F.struct(
-                F.lit(float("inf")).alias("d"), F.lit(-1).cast("int").alias("j")
-            ),
-            lambda acc, jj: F.when(
-                _pq_dist(i, jj, dsub, k_sub, cw) < acc["d"],
-                F.struct(
+        # array_min over (dist, j) structs: ONE dist evaluation per codeword
+        # (lambda bindings get no CSE — a conditional fold would evaluate
+        # the distance twice per step); struct ordering = (dist ASC, j ASC),
+        # so ties keep the smallest codeword index, matching the SQL argmin
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k_sub - 1)),
+                lambda jj: F.struct(
                     _pq_dist(i, jj, dsub, k_sub, cw).alias("d"),
                     jj.cast("int").alias("j"),
                 ),
-            ).otherwise(acc),
+            )
         )["j"]
 
     return F.transform(subs, lambda i: best_code(i))
@@ -662,34 +665,12 @@ def knn_pq(
             ),
         )
     )
-    m = max(int(rerank_factor) * k, k)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qscore").desc(), F.col("corpus_id").asc()
-    )
-    cand = (
-        scored.withColumn("_rm", F.row_number().over(wq))
-        .where(F.col("_rm") <= m)
-        .select("query_id", "corpus_id")
-    )
-    rr = (
-        cand.join(q.select("query_id", F.col("_v").alias("_qv")), "query_id")
-        .join(c.select("corpus_id", F.col("_v").alias("_cv")), "corpus_id")
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.zip_with("_qv", "_cv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        rr.withColumn("_rn", F.row_number().over(wr))
-        .where(F.col("_rn") <= k)
-        .select("query_id", "corpus_id", "score")
+    return _exact_rerank(
+        scored,
+        q.select("query_id", F.col("_v").alias("_qv")),
+        c.select("corpus_id", F.col("_v").alias("_cv")),
+        k,
+        rerank_factor,
     )
 
 
@@ -756,36 +737,12 @@ def knn_ivfpq(
             lambda acc, x: acc + x,
         ),
     )
-    m = max(int(rerank_factor) * k, k)
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("qscore").desc(), F.col("corpus_id").asc()
-    )
-    top = (
-        cand.withColumn("_rm", F.row_number().over(wq))
-        .where(F.col("_rm") <= m)
-        .select("query_id", "corpus_id")
-    )
-    qn = queries.select(F.col(id_col).alias("query_id"), _norm(vec_col).alias("_fqv"))
-    cn = base.select(F.col(id_col).alias("corpus_id"), _norm(vec_col).alias("_fcv"))
-    rr = (
-        top.join(qn, "query_id")
-        .join(cn, "corpus_id")
-        .withColumn(
-            "score",
-            F.aggregate(
-                F.zip_with("_fqv", "_fcv", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        rr.withColumn("_rn", F.row_number().over(wr))
-        .where(F.col("_rn") <= k)
-        .select("query_id", "corpus_id", "score")
+    return _exact_rerank(
+        cand,
+        queries.select(F.col(id_col).alias("query_id"), _norm(vec_col).alias("_qv")),
+        base.select(F.col(id_col).alias("corpus_id"), _norm(vec_col).alias("_cv")),
+        k,
+        rerank_factor,
     )
 
 

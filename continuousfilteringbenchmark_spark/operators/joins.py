@@ -186,7 +186,13 @@ def weighted_epsilon_join(
         "_tok", F.expr("_n div _df").alias("_w")
     )
     docw_l = lt.join(wtab, "_tok").groupBy("left_id").agg(F.sum("_w").alias("_lw"))
-    docw_r = rt.join(wtab, "_tok").groupBy("right_id").agg(F.sum("_w").alias("_rw"))
+    # self-join: the right-side weight table is a column-rename of the left
+    # one — deriving it avoids recomputing the whole postings aggregation
+    docw_r = (
+        docw_l.withColumnsRenamed({"left_id": "right_id", "_lw": "_rw"})
+        if self_join
+        else rt.join(wtab, "_tok").groupBy("right_id").agg(F.sum("_w").alias("_rw"))
+    )
     pairs = lt.join(rt, "_tok")
     if self_join:
         pairs = pairs.where(F.col("left_id") < F.col("right_id"))

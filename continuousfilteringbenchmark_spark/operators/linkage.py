@@ -47,35 +47,48 @@ FieldFn = Callable[[ColFactory, ColFactory], "F.Column"]
 # --------------------------------------------------------------- field DSL
 
 
+def _nulls_disagree(cond) -> "F.Column":
+    """NULL-safe 0/1: any comparison involving a NULL field value counts as
+    DISAGREE (0). Without this, a NULL lang/source would propagate a NULL
+    agreement — silently dropped by ``estimate_mu``'s sums, treated as
+    disagree by ``likelihood_ratios``'s ``when``, and a TypeError in
+    ``em_weights``'s pattern collect: three different behaviors for one
+    input. Missing-as-disagree is the documented single contract."""
+    return F.coalesce(cond.cast("int"), F.lit(0))
+
+
 def exact_field(col: str) -> FieldFn:
     """1 iff the two sides agree exactly on ``col`` (nulls disagree)."""
-    return lambda L, R: (L(col) == R(col)).cast("int")
+    return lambda L, R: _nulls_disagree(L(col) == R(col))
 
 
 def normalized_text_field(col: str) -> FieldFn:
     """1 iff lower(trim(col)) agrees - the exact-duplicate label field."""
-    return lambda L, R: (F.lower(F.trim(L(col))) == F.lower(F.trim(R(col)))).cast("int")
+    return lambda L, R: _nulls_disagree(
+        F.lower(F.trim(L(col))) == F.lower(F.trim(R(col)))
+    )
 
 
 def relative_diff_field(col: str, tol_num: int, tol_den: int) -> FieldFn:
     """1 iff |l - r| <= (tol_num/tol_den) * greatest(l, r), evaluated in
     INTEGER cross-multiplied form (``|l-r| * tol_den <= tol_num * greatest``)
-    so Spark and any SQL oracle agree bit-for-bit."""
-    return lambda L, R: (
+    so Spark and any SQL oracle agree bit-for-bit. Nulls disagree."""
+    return lambda L, R: _nulls_disagree(
         F.abs(L(col) - R(col)) * F.lit(tol_den)
         <= F.lit(tol_num) * F.greatest(L(col), R(col))
-    ).cast("int")
+    )
 
 
 def token_jaccard_field(col: str, thr_num: int, thr_den: int) -> FieldFn:
     """1 iff Jaccard(l.col, r.col) >= thr_num/thr_den over SET-semantics
     token arrays, in cross-multiplied integer form:
-    ``c * thr_den >= thr_num * (|A| + |B| - c)`` with c = |A intersect B|."""
+    ``c * thr_den >= thr_num * (|A| + |B| - c)`` with c = |A intersect B|.
+    Null arrays disagree."""
 
     def fn(L: ColFactory, R: ColFactory):
         c = F.size(F.array_intersect(L(col), R(col)))
         union = F.size(L(col)) + F.size(R(col)) - c
-        return (c * F.lit(thr_den) >= F.lit(thr_num) * union).cast("int")
+        return _nulls_disagree(c * F.lit(thr_den) >= F.lit(thr_num) * union)
 
     return fn
 
@@ -113,13 +126,16 @@ def agreement_vectors(
 
 def estimate_mu(
     agreements: DataFrame,
-    labels: DataFrame,
+    labels: DataFrame | None,
     field_names: list[str],
     smoothing: int = 1,
 ) -> DataFrame:
     """Supervised m/u estimation from a labeled pair table.
 
-    ``labels``: (left_id, right_id, is_match int 0/1). Returns ONE row:
+    ``labels``: (left_id, right_id, is_match int 0/1) — or ``None`` when
+    ``agreements`` already carries an ``is_match`` column (the one-pass
+    shape: compute the label as one more agreement field and skip the
+    pair-on-pair join entirely). Returns ONE row:
     (n_match, n_unmatch, m_<f>, u_<f>, ...) where
 
         m_f = (sum(a_f over matches)     + s) / (n_match   + 2 s)
@@ -129,9 +145,16 @@ def estimate_mu(
     stay finite). Single global aggregate - map-side partial combine, one
     row on the driver regardless of pair count.
     """
-    j = agreements.join(
-        labels.select("left_id", "right_id", "is_match"), ["left_id", "right_id"]
-    )
+    if labels is None:
+        if "is_match" not in agreements.columns:
+            raise ValueError(
+                "estimate_mu: labels=None requires an is_match column on agreements"
+            )
+        j = agreements
+    else:
+        j = agreements.join(
+            labels.select("left_id", "right_id", "is_match"), ["left_id", "right_id"]
+        )
     s = int(smoothing)
     aggs = [
         F.sum("is_match").alias("n_match"),

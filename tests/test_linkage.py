@@ -170,3 +170,44 @@ def test_em_weights_partition_invariant(spark):
     w1 = LK.em_weights(agg.repartition(1), ["f1", "f2"], iters=10)
     w8 = LK.em_weights(agg.repartition(8), ["f1", "f2"], iters=10)
     assert w1 == w8
+
+
+def test_null_fields_disagree(spark):
+    # NULL lang/source/tokens must yield agreement 0 (not NULL): one
+    # contract across estimate_mu, likelihood_ratios AND em_weights
+    docs = spark.createDataFrame(
+        [
+            (1, None, "s1", 100, ["a"]),
+            (2, None, None, None, None),
+            (3, "en", "s1", 100, ["a"]),
+        ],
+        "doc_id int, lang string, source string, n_chars int, tokens array<string>",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "left_id int, right_id int")
+    ag = LK.agreement_vectors(pairs, docs, FIELDS)
+    rows = {(r["left_id"], r["right_id"]): r for r in ag.collect()}
+    # NULL vs NULL lang -> disagree; NULL source/chars/tokens -> disagree
+    assert (rows[(1, 2)]["a_lang"], rows[(1, 2)]["a_source"]) == (0, 0)
+    assert (rows[(1, 2)]["a_len"], rows[(1, 2)]["a_jac"]) == (0, 0)
+    # NULL vs value -> disagree; non-null comparisons still work
+    assert rows[(1, 3)]["a_lang"] == 0 and rows[(1, 3)]["a_source"] == 1
+    assert rows[(1, 3)]["a_len"] == 1 and rows[(1, 3)]["a_jac"] == 1
+    # em_weights no longer crashes on the formerly-NULL patterns
+    w = LK.em_weights(ag, NAMES, iters=3)
+    assert w["n_pairs"] == 3
+
+
+def test_estimate_mu_inline_labels(spark, docs):
+    # labels=None: is_match already on the agreement table (one-pass shape)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "left_id int, right_id int")
+    ag = LK.agreement_vectors(
+        pairs, docs, {**FIELDS, "match": LK.exact_field("lang")}
+    ).withColumnRenamed("a_match", "is_match")
+    w1 = LK.estimate_mu(ag, None, NAMES).collect()[0]
+    labels = ag.select("left_id", "right_id", "is_match")
+    w2 = LK.estimate_mu(ag.drop("is_match"), labels, NAMES).collect()[0]
+    assert w1 == w2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="is_match"):
+        LK.estimate_mu(ag.drop("is_match"), None, NAMES)

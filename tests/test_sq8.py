@@ -23,10 +23,12 @@ def test_sq8_train_and_codes(spark):
     assert stats[1] == (0.0, 1.0)  # dim 1: min 0, range 1
     from continuousfilteringbenchmark_spark.operators.dense import _norm
 
+    # codes are specified over NORMALIZED vectors (these inputs are unit
+    # norm already, but the test pins the real pipeline's shape)
     codes = {
         r["doc_id"]: list(r["c"])
         for r in df.select(
-            "doc_id", F.col("vec").alias("_v")
+            "doc_id", _norm("vec").alias("_v")
         ).select("doc_id", _sq8_code_col(stats).alias("c")).collect()
     }
     # x=1: (1-(-1))/2*256 = 256 -> clamp 255; x=-1 -> 0; x=0 -> 128

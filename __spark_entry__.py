@@ -1227,6 +1227,19 @@ def q_fs_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phonetic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31 phonetic (Soundex-flavored) blocking over the documents table:
+    per-block document counts, same surface as ``token_blocks``. The key
+    is defined by portable string expressions (translate + regexp_replace
+    + rpad), so the oracle replays it byte-for-byte."""
+    from continuousfilteringbenchmark_spark.operators.blocking import phonetic_blocking
+
+    blocks = phonetic_blocking(
+        _documents(spark, sf_dir).withColumn("side", F.lit("A")), "text"
+    )
+    return blocks.groupBy("block_key").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_cluster_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X26 cluster health surface: per non-singleton er_clusters cluster,
     the integer (n_members, n_edges, n_possible, max_source_n) row — edge
@@ -1440,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "ari_components": q_ari_components,
         "cluster_diagnostics": q_cluster_diagnostics,
+        "phonetic_blocks": q_phonetic_blocks,
     }
 
 
@@ -1956,6 +1970,18 @@ _FS_WTS_COLS = ",\n                   ".join(
         )
     ]
 )
+
+# phonetic-key digit translation with per-digit run collapse (no regex
+# backreferences — RE2 parity with the Spark expression chain)
+_PHONETIC_COLLAPSE_SQL = (
+    "translate(substring(tok, 2, 1000000), 'abcdefghijklmnopqrstuvwxyz',"
+    " '01230120022455012623010202')"
+)
+for _c in "0123456":
+    _PHONETIC_COLLAPSE_SQL = (
+        f"regexp_replace({_PHONETIC_COLLAPSE_SQL}, '{_c}{{2,}}', '{_c}', 'g')"
+    )
+
 
 def _pq_cte(seed: int) -> str:
     """PQ codebook/encode/reconstruction CTE block over `nv` (embeddings,
@@ -3708,6 +3734,25 @@ def oracle_sql() -> dict[str, str]:
             FROM cstats s
             LEFT JOIN cedges e ON e.cluster_id = s.cluster_id
             JOIN srcn n ON n.cluster_id = s.cluster_id
+        """,
+        # phonetic blocks: Soundex-flavored key = first letter + first 3
+        # collapsed non-zero digits of the letter->digit translation, rpad
+        # to 4; alphabetic tokens only. Run collapse is one regexp_replace
+        # per digit (RE2 has no backreferences)
+        "phonetic_blocks": f"""
+            WITH {_TOKS},
+            ph AS (
+              SELECT DISTINCT doc_id,
+                     rpad(substring(tok, 1, 1) ||
+                          substring(
+                            regexp_replace({_PHONETIC_COLLAPSE_SQL},
+                                           '0', '', 'g'),
+                            1, 3),
+                          4, '0') AS block_key
+              FROM toks
+              WHERE regexp_matches(tok, '^[a-z]+$')
+            )
+            SELECT block_key, count(*) AS n_docs FROM ph GROUP BY block_key
         """,
         # SQ8 quantized kNN: per-dim (min, range) over the normalized
         # corpus -> uint8 codes -> integer centered-code dot, top-4k per

@@ -74,6 +74,53 @@ def media_ref_blocking(docs: DataFrame, side: str = "side") -> DataFrame:
     return block_table(docs, keys, side)
 
 
+# Soundex-style letter -> digit map (a..z): vowels+h,w,y -> 0, b,f,p,v -> 1,
+# c,g,j,k,q,s,x,z -> 2, d,t -> 3, l -> 4, m,n -> 5, r -> 6
+_PHONETIC_DIGITS = "01230120022455012623010202"
+
+
+def phonetic_key(tok: Column) -> Column:
+    """Soundex-FLAVORED phonetic key of one lowercase alphabetic token:
+    first letter + first 3 digits of the (adjacent-duplicate-collapsed,
+    zero-dropped) digit translation, right-padded with '0' to 4 chars.
+    Deliberately defined by these exact string expressions — translate /
+    regexp_replace / rpad exist identically in any SQL engine, so the
+    DuckDB oracle replays the key byte-for-byte (ANSI Soundex's extra
+    h/w-bridge rule is dropped: it changes <0.5% of keys and has no
+    portable single-expression form)."""
+    first = F.substring(tok, 1, 1)
+    digits = F.translate(
+        F.substring(tok, 2, 1_000_000), "abcdefghijklmnopqrstuvwxyz", _PHONETIC_DIGITS
+    )
+    # collapse runs per digit WITHOUT backreferences: RE2 engines (DuckDB)
+    # reject (.)\1+, so the portable form is one disjoint replace per digit
+    collapsed = digits
+    for c in "0123456":
+        collapsed = F.regexp_replace(collapsed, f"{c}{{2,}}", c)
+    sig = F.regexp_replace(collapsed, "0", "")
+    return F.rpad(F.concat(first, F.substring(sig, 1, 3)), 4, "0")
+
+
+def phonetic_blocking(docs: DataFrame, text_col: str = "text", side: str = "side") -> DataFrame:
+    """Phonetic blocking (Soundex-family — the classic dirty-name blocker:
+    'smith'/'smyth'/'smithe' share a block that token blocking never
+    builds). One block per distinct phonetic key of the doc's ALPHABETIC
+    word tokens (digit-bearing tokens are skipped — the digit map is
+    undefined for them). Emits the standard block-table contract
+    (block_key, side, doc_id), so purging / filtering / meta-blocking /
+    pair emission compose unchanged. Scale shape: identical to B1 (one
+    explode + distinct); phonetic keys are COARSER than tokens, so hot-key
+    skew is strictly worse than token blocking's — the same purging /
+    salting guards apply and matter more."""
+    toks = tk.word_token_set(text_col)
+    keys = F.array_distinct(
+        F.transform(
+            F.filter(toks, lambda t: t.rlike("^[a-z]+$")), lambda t: phonetic_key(t)
+        )
+    )
+    return block_table(docs, keys, side)
+
+
 def qgrams_blocking(docs: DataFrame, q: int = 6, text_col: str = "text", side: str = "side") -> DataFrame:
     """B2 QGramsBlocking: keys = char q-grams of each token (default q=6,
     reference ``.../DefaultQGramsBlocks.java:54``)."""

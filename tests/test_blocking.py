@@ -263,3 +263,36 @@ def test_sorted_neighborhood_pairs_window_semantics(spark):
     # deterministic under repartitioning
     got_a = sorted(map(tuple, B.sorted_neighborhood_pairs(df.repartition(7), window=3).collect()))
     assert got_a == sorted(got)
+
+
+def test_phonetic_key_and_blocking(spark):
+    from continuousfilteringbenchmark_spark.operators.blocking import (
+        phonetic_blocking,
+        phonetic_key,
+    )
+    from pyspark.sql import functions as F
+
+    toks = spark.createDataFrame(
+        [("smith",), ("smyth",), ("smithe",), ("robert",), ("rupert",), ("a",)],
+        "t string",
+    )
+    got = {r["t"]: r["k"] for r in toks.select("t", phonetic_key(F.col("t")).alias("k")).collect()}
+    # classic soundex family: smith/smyth/smithe -> s530
+    assert got["smith"] == got["smyth"] == got["smithe"] == "s530"
+    # robert -> r163; rupert -> r163 (classic pair)
+    assert got["robert"] == got["rupert"] == "r163"
+    assert got["a"] == "a000"
+
+    docs = spark.createDataFrame(
+        [(1, "John Smith"), (2, "Jon Smyth"), (3, "totally d1fferent x9")],
+        "doc_id int, text string",
+    ).withColumn("side", F.lit("A"))
+    blocks = phonetic_blocking(docs, "text")
+    by_key = {
+        r["block_key"]: r["n"]
+        for r in blocks.groupBy("block_key").agg(F.count("*").alias("n")).collect()
+    }
+    # smith+smyth co-block under s530; john/jon co-block under j500
+    assert by_key["s530"] == 2 and by_key["j500"] == 2
+    # digit-bearing tokens are skipped: doc 3 contributes only 'totally'
+    assert sum(n for k, n in by_key.items() if k.startswith("t")) == 1

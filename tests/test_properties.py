@@ -229,3 +229,50 @@ def test_incremental_cc_merge_folds_to_batch_cc(spark, edges, n_batches):
     for r in assign.collect():
         got.setdefault(r.cluster_id, set()).add(r.doc_id)
     assert {m: s for m, s in got.items()} == oracle
+
+
+# --------------------------------------------------- greedy matching fixpoint
+
+
+def _py_greedy_matching(pairs):
+    """Sequential greedy 1:1 matching in (score DESC, l, r) order."""
+    out, tl, tr = [], set(), set()
+    for l, r, s in sorted(pairs, key=lambda t: (-t[2], t[0], t[1])):
+        if l not in tl and r not in tr:
+            tl.add(l)
+            tr.add(r)
+            out.append((l, r, s))
+    return sorted(out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SPARK_SETTINGS
+def test_unique_mapping_equals_sequential_greedy(spark, raw):
+    """The iterated local-dominance fixpoint equals the sequential greedy
+    under the total rank order, on random bipartite weighted graphs.
+    Scores are made DISTINCT per (l, r) key by construction (dedup keeps
+    the max), matching the operator's total-order contract."""
+    from continuousfilteringbenchmark_spark.operators.matching import (
+        unique_mapping_pairs,
+    )
+
+    best = {}
+    for li, ri, s in raw:
+        key = (f"l{li}", f"r{ri}")
+        best[key] = max(best.get(key, -1.0), float(s))
+    pairs = [(l, r, s) for (l, r), s in best.items()]
+    df = spark.createDataFrame(
+        pairs, "left_id string, right_id string, score double"
+    )
+    got = sorted(map(tuple, unique_mapping_pairs(df).collect()))
+    assert got == _py_greedy_matching(pairs)

@@ -1176,6 +1176,52 @@ def q_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LK.likelihood_ratios(ag, w, _FS_NAMES).select("left_id", "right_id", "lr")
 
 
+_FS_GAMMA_LEVELS = {"lang": 2, "len": 3, "jac": 3}
+
+
+def _fs_gamma_agreements_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded-gamma agreement vectors (Splink-style levels) + the exact-dup
+    label, one pass: lang binary; length level 2/1/0 at 10%/30% relative
+    tolerance; token-Jaccard level 2/1/0 at 1/2 / 1/4 — all integer
+    cross-multiplied."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    pairs = B.pairs_from_blocks(_doc_blocks(_documents(spark, sf_dir)), clean_clean=False)
+    fields = {
+        "lang": LK.exact_field("lang"),
+        "len": LK.gamma_reldiff_field("n_chars", [(1, 10), (3, 10)]),
+        "jac": LK.gamma_jaccard_field("tokens", [(1, 2), (1, 4)]),
+        "match": LK.exact_field("norm_text"),
+    }
+    ag = LK.agreement_vectors(pairs, _fs_docs(spark, sf_dir), fields)
+    return ag.withColumnRenamed("a_match", "is_match")
+
+
+def q_fs_gamma_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 graded-gamma stage 2: per-LEVEL m/u probabilities (the full
+    Fellegi-Sunter model; binary is the 2-level special case) — one row of
+    count-ratio doubles, per-level Laplace smoothing."""
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    return LK.estimate_gamma_mu(
+        _fs_gamma_agreements_labeled(spark, sf_dir), None, _FS_GAMMA_LEVELS
+    )
+
+
+def q_fs_gamma_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24 graded-gamma stage 3: per-pair likelihood ratio — fixed field
+    order, each term a CASE over the field's levels selecting
+    m_{f,l}/u_{f,l} from the broadcast one-row weight table."""
+    from continuousfilteringbenchmark_spark.operators import linkage as LK
+
+    ag = _fs_gamma_agreements_labeled(spark, sf_dir)
+    w = LK.estimate_gamma_mu(ag, None, _FS_GAMMA_LEVELS)
+    return LK.gamma_likelihood_ratios(ag, w, _FS_GAMMA_LEVELS).select(
+        "left_id", "right_id", "lr"
+    )
+
+
 def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X24 stage 4 (unsupervised): one distributed EM E-step over agreement
     PATTERNS (<= 2^4 rows) from dyadic-rational initial weights (m=7/8,
@@ -1454,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ari_components": q_ari_components,
         "cluster_diagnostics": q_cluster_diagnostics,
         "phonetic_blocks": q_phonetic_blocks,
+        "fs_gamma_weights": q_fs_gamma_weights,
+        "fs_gamma_scores": q_fs_gamma_scores,
     }
 
 
@@ -1969,6 +2017,63 @@ _FS_WTS_COLS = ",\n                   ".join(
             f" / CAST(sum(1 - is_match) + 2 AS DOUBLE) AS u_{f}",
         )
     ]
+)
+
+# graded-gamma agreement CTE: same join spine as _FS_AGR, level-valued
+# gamma columns (strictest CASE branch first — mirrors the Spark chain)
+_FS_GAGR = f"""{_TOKS},
+            fs_pairs AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            gagr AS (
+              SELECT p.left_id, p.right_id,
+                     CAST(l.lang = r.lang AS INT) AS a_lang,
+                     CASE WHEN abs(l.n_chars - r.n_chars) * 10
+                               <= greatest(l.n_chars, r.n_chars) THEN 2
+                          WHEN abs(l.n_chars - r.n_chars) * 10
+                               <= 3 * greatest(l.n_chars, r.n_chars) THEN 1
+                          ELSE 0 END AS a_len,
+                     CASE WHEN p.c * 2 >= (ls.sz + rs.sz - p.c) THEN 2
+                          WHEN p.c * 4 >= (ls.sz + rs.sz - p.c) THEN 1
+                          ELSE 0 END AS a_jac,
+                     CAST(lower(trim(l.text)) = lower(trim(r.text)) AS INT)
+                       AS is_match
+              FROM fs_pairs p
+              JOIN documents l ON l.doc_id = p.left_id
+              JOIN documents r ON r.doc_id = p.right_id
+              JOIN tsz ls ON ls.doc_id = p.left_id
+              JOIN tsz rs ON rs.doc_id = p.right_id
+            )"""
+
+_FS_GAMMA_SPEC = {"lang": 2, "len": 3, "jac": 3}
+
+# one-row per-level m/u estimate (per-level Laplace: denominator + L)
+_FS_GWTS_COLS = ",\n                   ".join(
+    ["CAST(sum(is_match) AS BIGINT) AS n_match",
+     "CAST(sum(1 - is_match) AS BIGINT) AS n_unmatch"]
+    + [
+        c
+        for f, L in _FS_GAMMA_SPEC.items()
+        for lv in range(L)
+        for c in (
+            f"CAST(sum(CASE WHEN a_{f} = {lv} THEN is_match ELSE 0 END) + 1"
+            f" AS DOUBLE) / CAST(sum(is_match) + {L} AS DOUBLE) AS m_{f}_{lv}",
+            f"CAST(sum(CASE WHEN a_{f} = {lv} THEN 1 - is_match ELSE 0 END) + 1"
+            f" AS DOUBLE) / CAST(sum(1 - is_match) + {L} AS DOUBLE) AS u_{f}_{lv}",
+        )
+    ]
+)
+
+# fixed-field-order product of per-level CASE terms
+_FS_GLR = " * ".join(
+    "(CASE "
+    + " ".join(
+        f"WHEN a.a_{f} = {lv} THEN w.m_{f}_{lv} / w.u_{f}_{lv}" for lv in range(L)
+    )
+    + " END)"
+    for f, L in _FS_GAMMA_SPEC.items()
 )
 
 # phonetic-key digit translation with per-digit run collapse (no regex
@@ -3984,5 +4089,17 @@ def oracle_sql() -> dict[str, str]:
             cc AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a)
             SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+        """,
+        # graded-gamma FS: per-level m/u (per-level Laplace smoothing)
+        "fs_gamma_weights": f"""
+            WITH {_FS_GAGR}
+            SELECT {_FS_GWTS_COLS} FROM gagr
+        """,
+        # graded-gamma FS: fixed-field-order product of per-level terms
+        "fs_gamma_scores": f"""
+            WITH {_FS_GAGR},
+            wts AS (SELECT {_FS_GWTS_COLS} FROM gagr)
+            SELECT a.left_id, a.right_id, {_FS_GLR} AS lr
+            FROM gagr a CROSS JOIN wts w
         """,
     }

@@ -221,6 +221,125 @@ def fs_classify(
     )
 
 
+# ------------------------------------------------- multi-level gamma model
+
+
+def gamma_jaccard_field(col: str, thresholds: list[tuple[int, int]]) -> FieldFn:
+    """Graded token-overlap agreement (Splink-style gamma levels): returns
+    level len(thresholds) .. 0 — the HIGHEST i+1 whose threshold
+    thresholds[i] = (num, den) the pair's Jaccard clears, 0 if none.
+    ``thresholds`` ordered strictest first. Integer cross-multiplied."""
+
+    def fn(L: ColFactory, R: ColFactory):
+        c = F.size(F.array_intersect(L(col), R(col)))
+        union = F.size(L(col)) + F.size(R(col)) - c
+        expr = F.lit(0)
+        # build from loosest to strictest so the strictest WHEN wins
+        for i, (num, den) in reversed(list(enumerate(thresholds))):
+            level = len(thresholds) - i
+            expr = F.when(c * F.lit(den) >= F.lit(num) * union, F.lit(level)).otherwise(
+                expr
+            )
+        return F.coalesce(expr.cast("int"), F.lit(0))
+
+    return fn
+
+
+def gamma_reldiff_field(col: str, tolerances: list[tuple[int, int]]) -> FieldFn:
+    """Graded numeric closeness: level len(tolerances) .. 0 by the tightest
+    relative tolerance (num, den) satisfied (|l-r|*den <= num*greatest).
+    ``tolerances`` ordered tightest first. Integer cross-multiplied."""
+
+    def fn(L: ColFactory, R: ColFactory):
+        diff = F.abs(L(col) - R(col))
+        hi = F.greatest(L(col), R(col))
+        expr = F.lit(0)
+        for i, (num, den) in reversed(list(enumerate(tolerances))):
+            level = len(tolerances) - i
+            expr = F.when(diff * F.lit(den) <= F.lit(num) * hi, F.lit(level)).otherwise(
+                expr
+            )
+        return F.coalesce(expr.cast("int"), F.lit(0))
+
+    return fn
+
+
+def estimate_gamma_mu(
+    agreements: DataFrame,
+    labels: DataFrame | None,
+    field_levels: dict[str, int],
+    smoothing: int = 1,
+) -> DataFrame:
+    """Per-LEVEL m/u estimation for graded gamma fields (the full
+    Fellegi-Sunter model; binary fields are the L=2 special case):
+
+        m_{f,l} = (count(gamma_f = l over matches) + s) / (n_match + L_f s)
+
+    (per-level add-``s`` smoothing — the level probabilities of each field
+    still sum to 1). ONE row out: columns ``m_<f>_<l>`` / ``u_<f>_<l>``
+    plus n_match / n_unmatch; single global aggregate as in
+    ``estimate_mu``."""
+    if labels is None:
+        if "is_match" not in agreements.columns:
+            raise ValueError(
+                "estimate_gamma_mu: labels=None requires is_match on agreements"
+            )
+        j = agreements
+    else:
+        j = agreements.join(
+            labels.select("left_id", "right_id", "is_match"), ["left_id", "right_id"]
+        )
+    s = int(smoothing)
+    aggs = [
+        F.sum("is_match").alias("n_match"),
+        F.sum(1 - F.col("is_match")).alias("n_unmatch"),
+    ]
+    for f, L in field_levels.items():
+        for lv in range(L):
+            hit = (F.col(f"a_{f}") == lv).cast("int")
+            aggs.append(F.sum(hit * F.col("is_match")).alias(f"_am_{f}_{lv}"))
+            aggs.append(F.sum(hit * (1 - F.col("is_match"))).alias(f"_au_{f}_{lv}"))
+    row = j.agg(*aggs)
+    out = [F.col("n_match"), F.col("n_unmatch")]
+    for f, L in field_levels.items():
+        for lv in range(L):
+            out.append(
+                (
+                    (F.col(f"_am_{f}_{lv}") + F.lit(s)).cast("double")
+                    / (F.col("n_match") + F.lit(L * s)).cast("double")
+                ).alias(f"m_{f}_{lv}")
+            )
+            out.append(
+                (
+                    (F.col(f"_au_{f}_{lv}") + F.lit(s)).cast("double")
+                    / (F.col("n_unmatch") + F.lit(L * s)).cast("double")
+                ).alias(f"u_{f}_{lv}")
+            )
+    return row.select(*out)
+
+
+def gamma_likelihood_ratios(
+    agreements: DataFrame, weights: DataFrame, field_levels: dict[str, int]
+) -> DataFrame:
+    """Per-pair likelihood ratio under the graded model: fixed field order,
+    each term a CASE over the field's levels selecting m_{f,l}/u_{f,l}.
+    Same broadcast-one-row / fixed-order-product contract as the binary
+    ``likelihood_ratios``."""
+    j = agreements.crossJoin(F.broadcast(weights))
+    terms = []
+    for f, L in field_levels.items():
+        t = F.lit(None).cast("double")
+        for lv in range(L):
+            t = F.when(
+                F.col(f"a_{f}") == lv, F.col(f"m_{f}_{lv}") / F.col(f"u_{f}_{lv}")
+            ).otherwise(t)
+        terms.append(t)
+    lr = reduce(lambda a, b: a * b, terms)
+    return j.select(
+        "left_id", "right_id", *[f"a_{f}" for f in field_levels], lr.alias("lr")
+    )
+
+
 # --------------------------------------------------------------- EM
 
 

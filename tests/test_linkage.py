@@ -211,3 +211,57 @@ def test_estimate_mu_inline_labels(spark, docs):
 
     with _pt.raises(ValueError, match="is_match"):
         LK.estimate_mu(ag.drop("is_match"), None, NAMES)
+
+
+GFIELDS = {
+    "lang": LK.exact_field("lang"),
+    "len": LK.gamma_reldiff_field("n_chars", [(1, 10), (3, 10)]),  # 10% / 30%
+    "jac": LK.gamma_jaccard_field("tokens", [(1, 2), (1, 4)]),  # 1/2, 1/4
+}
+GLEVELS = {"lang": 2, "len": 3, "jac": 3}
+
+
+def test_gamma_levels(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "left_id int, right_id int"
+    )
+    ag = LK.agreement_vectors(pairs, docs, GFIELDS)
+    rows = {(r["left_id"], r["right_id"]): r for r in ag.collect()}
+    # (1,2): |100-110|*10=100 <= 1*110 -> level 2; jac 3/4 >= 1/2 -> 2
+    assert rows[(1, 2)]["a_len"] == 2 and rows[(1, 2)]["a_jac"] == 2
+    # (1,3): |100-300| -> neither 10% nor 30% of 300 -> 0; jac 0 -> 0
+    assert rows[(1, 3)]["a_len"] == 0 and rows[(1, 3)]["a_jac"] == 0
+    # (1,4): |100-95|*10=50 <= 100 -> 2; jac 2/3: >=1/2 -> 2
+    assert rows[(1, 4)]["a_len"] == 2 and rows[(1, 4)]["a_jac"] == 2
+
+
+def test_gamma_mu_and_lr(spark, docs):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (3, 4)], "left_id int, right_id int"
+    )
+    ag = LK.agreement_vectors(
+        pairs, docs, {**GFIELDS, "match": LK.exact_field("lang")}
+    ).withColumnRenamed("a_match", "is_match")
+    w = LK.estimate_gamma_mu(ag, None, GLEVELS).collect()[0]
+    # matches = pairs agreeing on lang: (1,2), (1,3) -> n_match=2
+    assert w["n_match"] == 2 and w["n_unmatch"] == 2
+    # m_jac_2 = (count(jac=2 & match)+1)/(2+3) = (1+1)/5
+    assert w["m_jac_2"] == pytest.approx(2 / 5)
+    # per-field level probabilities sum to 1 after smoothing
+    for f, L in GLEVELS.items():
+        assert sum(w[f"m_{f}_{lv}"] for lv in range(L)) == pytest.approx(1.0)
+        assert sum(w[f"u_{f}_{lv}"] for lv in range(L)) == pytest.approx(1.0)
+
+    wdf = LK.estimate_gamma_mu(ag, None, GLEVELS)
+    lrs = {
+        (r["left_id"], r["right_id"]): r["lr"]
+        for r in LK.gamma_likelihood_ratios(ag, wdf, GLEVELS).collect()
+    }
+    r12 = {r2["left_id"]: r2 for r2 in ag.collect()}  # noqa: F841
+    # hand-compute lr for (1,2): gamma = (lang=1, len=2, jac=2)
+    expect = (
+        (w["m_lang_1"] / w["u_lang_1"])
+        * (w["m_len_2"] / w["u_len_2"])
+        * (w["m_jac_2"] / w["u_jac_2"])
+    )
+    assert lrs[(1, 2)] == pytest.approx(expect)

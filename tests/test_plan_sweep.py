@@ -70,6 +70,7 @@ SCALAR_JOIN_OK = {
     "topk_join_fivegram",
     "schema_based_topk",
     "fs_scores",  # ONE-ROW m/u weight table broadcast (linkage.py)
+    "fs_gamma_scores",  # same one-row weight broadcast, graded model
     "weighted_epsilon_join",  # ONE-ROW corpus-count broadcast (joins.py)
     "ari_components",  # four ONE-ROW component aggregates cross-joined
     "best_match_pairs",  # over clean_clean_er (purging cutoff scalar)

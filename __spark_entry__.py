@@ -1419,31 +1419,80 @@ def q_unique_mapping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ordering is a certification rotation, not cosmetics: the
+    correctness driver verifies a PREFIX of this dict (~50 queries/round), so
+    entries are ordered least-recently-certified first.  Round-4 prefix =
+    the 25 queries with no driver row in any round, then the 7 green only in
+    round 2, then this round's additions, then the headline/bench set for
+    fresh re-certification.  Queries past the prefix hold green rows from
+    round 3 (`CORRECTNESS_r03.json`) on unchanged code.
+    """
     return {
+        # -- never driver-certified (local exact-green only) --------------
+        "tuned_workflow": q_tuned_workflow,
+        "duplicated_ngram_spans": q_duplicated_ngram_spans,
+        "contamination_flags": q_contamination_flags,
+        "repetition_signals": q_repetition_signals,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "fs_agreements": q_fs_agreements,
+        "fs_weights": q_fs_weights,
+        "fs_scores": q_fs_scores,
+        "fs_em_posterior": q_fs_em_posterior,
+        "fs_gamma_weights": q_fs_gamma_weights,
+        "fs_gamma_scores": q_fs_gamma_scores,
+        "fs_er_clusters": q_fs_er_clusters,
+        "golden_records": q_golden_records,
+        "bcubed_per_doc": q_bcubed_per_doc,
+        "ari_components": q_ari_components,
+        "cluster_diagnostics": q_cluster_diagnostics,
+        "best_match_pairs": q_best_match_pairs,
+        "unique_mapping_pairs": q_unique_mapping_pairs,
+        "weighted_epsilon_join": q_weighted_epsilon_join,
+        "phonetic_blocks": q_phonetic_blocks,
+        "deepblocker_pairs": q_deepblocker_pairs,
+        "knn_ivf_approx": q_knn_ivf_approx,
+        "knn_sq8": q_knn_sq8,
+        "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
+        # -- certified in round 2 only (rotated out of the r3 prefix) -----
+        "simhash_dedup": q_simhash_dedup,
+        "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "media_features": q_media_features,
+        "hyperplane_lsh": q_hyperplane_lsh,
+        "dedup_assignments": q_dedup_assignments,
+        "shingle_count_vectors": q_shingle_count_vectors,
+        "ngram_bool_vectors": q_ngram_bool_vectors,
+        # -- new this round ------------------------------------------------
+        # (round-4 additions are registered here as they land)
+        # -- headline / core re-certification ------------------------------
         "exact_dedup": q_exact_dedup,
-        "token_blocks": q_token_blocks,
-        "candidate_pairs": q_candidate_pairs,
-        "block_purging": q_block_purging,
-        "block_filtering": q_block_filtering,
-        "epsilon_join": q_epsilon_join,
-        "epsilon_join_prefix": q_epsilon_join_prefix,
-        "topk_join": q_topk_join,
-        "metablocking_js_wep": q_metablocking_js_wep,
-        "metablocking_cbs_cnp": q_metablocking_cbs_cnp,
-        "er_clusters": q_er_clusters,
-        "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "text_profile": q_text_profile,
         "lang_histogram": q_lang_histogram,
+        "token_blocks": q_token_blocks,
+        "block_purging": q_block_purging,
+        "block_filtering": q_block_filtering,
+        "minhash_dedup": q_minhash_dedup,
+        "corpus_curation": q_corpus_curation,
+        "range_search_lsh": q_range_search_lsh,
+        "er_clusters": q_er_clusters,
+        "candidate_pairs": q_candidate_pairs,
+        "epsilon_join": q_epsilon_join,
+        "topk_join": q_topk_join,
+        "clean_clean_er": q_clean_clean_er,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        # -- round-3 driver-green on unchanged code (past the prefix) ------
+        "epsilon_join_prefix": q_epsilon_join_prefix,
+        "metablocking_js_wep": q_metablocking_js_wep,
+        "metablocking_cbs_cnp": q_metablocking_cbs_cnp,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "knn_embeddings": q_knn_embeddings,
         "range_search_embeddings": q_range_search_embeddings,
         "qgrams_blocks": q_qgrams_blocks,
         "suffix_blocks": q_suffix_blocks,
-        "clean_clean_er": q_clean_clean_er,
         "metablocking_ecbs_wnp": q_metablocking_ecbs_wnp,
         "metablocking_arcs_cep": q_metablocking_arcs_cep,
         "topk_join_multiset": q_topk_join_multiset,
         "edit_distance_pairs": q_edit_distance_pairs,
-        "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "span_invariant": q_span_invariant,
         "extended_suffix_blocks": q_extended_suffix_blocks,
         "blast_pairs": q_blast_pairs,
@@ -1459,49 +1508,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_blocking": q_incremental_blocking,
         "streaming_dedup": q_streaming_dedup,
         "continuous_er": q_continuous_er,
-        "range_search_lsh": q_range_search_lsh,
         "range_search_multiprobe": q_range_search_multiprobe,
         "jedai_workflow": q_jedai_workflow,
         "topk_join_fivegram": q_topk_join_fivegram,
         "schema_based_topk": q_schema_based_topk,
         "extended_qgrams_blocks": q_extended_qgrams_blocks,
         "crosspolytope_lsh": q_crosspolytope_lsh,
-        "minhash_dedup": q_minhash_dedup,
-        "corpus_curation": q_corpus_curation,
         "crossmodal_candidates": q_crossmodal_candidates,
         "windowed_ingest": q_windowed_ingest,
-        "simhash_dedup": q_simhash_dedup,
-        "knn_ivf_embeddings": q_knn_ivf_embeddings,
-        "knn_ivf_approx": q_knn_ivf_approx,
-        "media_features": q_media_features,
-        "hyperplane_lsh": q_hyperplane_lsh,
-        "dedup_assignments": q_dedup_assignments,
-        "shingle_count_vectors": q_shingle_count_vectors,
-        "ngram_bool_vectors": q_ngram_bool_vectors,
-        "deepblocker_pairs": q_deepblocker_pairs,
-        "tuned_workflow": q_tuned_workflow,
-        "duplicated_ngram_spans": q_duplicated_ngram_spans,
-        "contamination_flags": q_contamination_flags,
-        "repetition_signals": q_repetition_signals,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "fs_agreements": q_fs_agreements,
-        "fs_weights": q_fs_weights,
-        "fs_scores": q_fs_scores,
-        "fs_em_posterior": q_fs_em_posterior,
-        "golden_records": q_golden_records,
-        "bcubed_per_doc": q_bcubed_per_doc,
-        "knn_sq8": q_knn_sq8,
-        "best_match_pairs": q_best_match_pairs,
-        "unique_mapping_pairs": q_unique_mapping_pairs,
-        "weighted_epsilon_join": q_weighted_epsilon_join,
-        "knn_pq": q_knn_pq,
-        "fs_er_clusters": q_fs_er_clusters,
-        "knn_ivfpq": q_knn_ivfpq,
-        "ari_components": q_ari_components,
-        "cluster_diagnostics": q_cluster_diagnostics,
-        "phonetic_blocks": q_phonetic_blocks,
-        "fs_gamma_weights": q_fs_gamma_weights,
-        "fs_gamma_scores": q_fs_gamma_scores,
     }
 
 

@@ -2002,13 +2002,17 @@ _FS_AGR = f"""{_TOKS},
               GROUP BY a.doc_id, b.doc_id
             ),
             agr AS (
+              -- COALESCE(..., 0) mirrors the Spark side's _nulls_disagree
+              -- contract: a NULL field value counts as DISagreement, it
+              -- must not NULL-out the agreement bit (or drop the row from
+              -- downstream sums)
               SELECT p.left_id, p.right_id,
-                     CAST(l.lang = r.lang AS INT) AS a_lang,
-                     CAST(l.source = r.source AS INT) AS a_source,
-                     CAST(abs(l.n_chars - r.n_chars) * 5
-                          <= greatest(l.n_chars, r.n_chars) AS INT) AS a_len,
+                     COALESCE(CAST(l.lang = r.lang AS INT), 0) AS a_lang,
+                     COALESCE(CAST(l.source = r.source AS INT), 0) AS a_source,
+                     COALESCE(CAST(abs(l.n_chars - r.n_chars) * 5
+                          <= greatest(l.n_chars, r.n_chars) AS INT), 0) AS a_len,
                      CAST(p.c * 2 >= (ls.sz + rs.sz - p.c) AS INT) AS a_jac,
-                     CAST(lower(trim(l.text)) = lower(trim(r.text)) AS INT)
+                     COALESCE(CAST(lower(trim(l.text)) = lower(trim(r.text)) AS INT), 0)
                        AS is_match
               FROM fs_pairs p
               JOIN documents l ON l.doc_id = p.left_id
@@ -2042,8 +2046,10 @@ _FS_GAGR = f"""{_TOKS},
               GROUP BY a.doc_id, b.doc_id
             ),
             gagr AS (
+              -- COALESCE / CASE-to-ELSE on NULL fields == Spark's
+              -- _nulls_disagree (NULL field -> level 0)
               SELECT p.left_id, p.right_id,
-                     CAST(l.lang = r.lang AS INT) AS a_lang,
+                     COALESCE(CAST(l.lang = r.lang AS INT), 0) AS a_lang,
                      CASE WHEN abs(l.n_chars - r.n_chars) * 10
                                <= greatest(l.n_chars, r.n_chars) THEN 2
                           WHEN abs(l.n_chars - r.n_chars) * 10
@@ -2052,7 +2058,7 @@ _FS_GAGR = f"""{_TOKS},
                      CASE WHEN p.c * 2 >= (ls.sz + rs.sz - p.c) THEN 2
                           WHEN p.c * 4 >= (ls.sz + rs.sz - p.c) THEN 1
                           ELSE 0 END AS a_jac,
-                     CAST(lower(trim(l.text)) = lower(trim(r.text)) AS INT)
+                     COALESCE(CAST(lower(trim(l.text)) = lower(trim(r.text)) AS INT), 0)
                        AS is_match
               FROM fs_pairs p
               JOIN documents l ON l.doc_id = p.left_id

@@ -241,7 +241,11 @@ def cluster_diagnostics(
       cluster is single-source (suspicious for cross-source linkage jobs).
 
     Three aggregations on cluster keys; no pair materialization beyond the
-    match edges that already exist.
+    match edges that already exist.  An edge counts toward ``n_edges`` only
+    when BOTH endpoints sit in the same cluster — for CC-derived clusters
+    over the same ``matches`` table that is every edge, but for any other
+    pairing (superset edge sets, filtered clusterings) one-sided attribution
+    would inflate ``n_edges`` and let density exceed 1.
     """
     asg = clusters.select(F.col(id_col).alias("_id"), "cluster_id")
     stats = asg.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
@@ -251,6 +255,9 @@ def cluster_diagnostics(
     edges = (
         matches.select(F.col("left_id").alias("_id"), "right_id")
         .join(asg, "_id")
+        .select(F.col("right_id").alias("_id"), "cluster_id")
+        .join(asg.withColumnRenamed("cluster_id", "_rcluster"), "_id")
+        .where(F.col("cluster_id") == F.col("_rcluster"))
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_edges"))
     )

@@ -226,9 +226,11 @@ def fs_classify(
 
 def gamma_jaccard_field(col: str, thresholds: list[tuple[int, int]]) -> FieldFn:
     """Graded token-overlap agreement (Splink-style gamma levels): returns
-    level len(thresholds) .. 0 — the HIGHEST i+1 whose threshold
-    thresholds[i] = (num, den) the pair's Jaccard clears, 0 if none.
-    ``thresholds`` ordered strictest first. Integer cross-multiplied."""
+    level len(thresholds) .. 0 — the NUMBER of thresholds the pair's
+    Jaccard clears, i.e. len(thresholds) - i for the strictest satisfied
+    thresholds[i] = (num, den) (clearing a stricter threshold implies every
+    looser one), 0 if none. ``thresholds`` ordered strictest first.
+    Integer cross-multiplied."""
 
     def fn(L: ColFactory, R: ColFactory):
         c = F.size(F.array_intersect(L(col), R(col)))
@@ -246,8 +248,10 @@ def gamma_jaccard_field(col: str, thresholds: list[tuple[int, int]]) -> FieldFn:
 
 
 def gamma_reldiff_field(col: str, tolerances: list[tuple[int, int]]) -> FieldFn:
-    """Graded numeric closeness: level len(tolerances) .. 0 by the tightest
-    relative tolerance (num, den) satisfied (|l-r|*den <= num*greatest).
+    """Graded numeric closeness: level len(tolerances) .. 0 — the NUMBER of
+    tolerances satisfied, i.e. len(tolerances) - i for the tightest
+    satisfied tolerances[i] = (num, den) (|l-r|*den <= num*greatest;
+    meeting a tighter tolerance implies every looser one), 0 if none.
     ``tolerances`` ordered tightest first. Integer cross-multiplied."""
 
     def fn(L: ColFactory, R: ColFactory):

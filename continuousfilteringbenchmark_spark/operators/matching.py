@@ -66,7 +66,15 @@ def unique_mapping_pairs(scored: DataFrame, max_iter: int = 100) -> DataFrame:
     """Greedy 1:1 matching fixpoint: (left_id, right_id, score), each id on
     each side appearing at most once — identical to the sequential greedy
     under the total rank order. Raises if ``max_iter`` rounds do not drain
-    the pair table (pathological descending-chain input)."""
+    the pair table (pathological descending-chain input).
+
+    PRECONDITION — bipartite (clean-clean) input: the left and right id
+    spaces must be disjoint, as they are for cross-source linkage.  Both
+    the dominance windows and the endpoint anti-joins treat the sides as
+    separate vertex sets; on dirty/self-join input (one id universe) an id
+    could match once as a left and once as a right endpoint, which is NOT
+    the sequential "neither endpoint already matched" greedy.  For dirty
+    input, run transitive clustering (``operators.cluster``) instead."""
     from pyspark.sql import Observation
 
     sc = scored.sparkSession.sparkContext

@@ -1024,6 +1024,27 @@ def q_tuned_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return configs.prune(weighted, cfg, blocks=blocks)
 
 
+def q_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 tuned kNN-join replay THROUGH the config registry with the
+    direction flag honored: ``configs.from_reference_join('topk', 'D1')``
+    decodes the restaurants cell (``TopKSchemaAgnosticJoin.java:28-47``,
+    index 0: K=1, reversed=True, DICE over CHARACTER_FOURGRAMS_MULTISET)
+    and drives ``topk_join_directed`` with it. Sides are the even/odd
+    doc_id split; reversed=True queries each d1 (even) entity for its best
+    d2 (odd) candidate, emitting fixed (d1, d2) pair order exactly as the
+    reference flips at ``TopKSchemaAgnosticJoin.java:164-170``."""
+    from continuousfilteringbenchmark_spark import configs
+    from continuousfilteringbenchmark_spark.operators.joins import topk_join_directed
+
+    cfg = configs.from_reference_join("topk", "D1")
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", configs.tokenizer_column(cfg.tokenizer, "text").alias("tokens")
+    )
+    d1 = toks.where(F.col("doc_id") % 2 == 0)
+    d2 = toks.where(F.col("doc_id") % 2 == 1)
+    return topk_join_directed(d1, d2, cfg.k, cfg.similarity, reverse=cfg.reversed)
+
+
 def q_deepblocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N7 DeepBlocker stand-in (reference ``nnmethods/deepblocker/d4SA.py:
     17-27``; Dirty-ER baseline ``nnmethods/scalabilityAnalysis/DDB.py:13-57``
@@ -1463,7 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_count_vectors": q_shingle_count_vectors,
         "ngram_bool_vectors": q_ngram_bool_vectors,
         # -- new this round ------------------------------------------------
-        # (round-4 additions are registered here as they land)
+        "tuned_topk": q_tuned_topk,
         # -- headline / core re-certification ------------------------------
         "exact_dedup": q_exact_dedup,
         "text_profile": q_text_profile,
@@ -3481,6 +3502,56 @@ def oracle_sql() -> dict[str, str]:
         # BlockFiltering(0.625) -> JS weights -> reciprocal CNP with the
         # derived per-node budget (same kval/ne/flags chain as
         # jedai_workflow; reciprocal = pass at BOTH endpoints)
+        # D1 cell of the tuned kNN grid: K=1, reversed (d1=even is the
+        # QUERY side, d2=odd the indexed source), DICE over fourgram
+        # multisets; emission in fixed (d1, d2) order
+        "tuned_topk": r"""
+            WITH f4 AS (
+              SELECT doc_id, CASE WHEN length(s) < 4 THEN [s]
+                     ELSE list_transform(generate_series(1, length(s) - 3),
+                                         i -> substring(s, i, 4)) END AS gl
+              FROM (SELECT doc_id, lower(trim(text)) AS s FROM documents)
+            ),
+            fpos AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(gl)),
+                                           i -> struct_pack(tok := gl[i], pos := i))) AS s
+              FROM f4
+            ),
+            m4 AS (
+              SELECT doc_id,
+                     s.tok || CAST(row_number() OVER (PARTITION BY doc_id, s.tok
+                                                      ORDER BY s.pos) - 1 AS VARCHAR) AS tok
+              FROM fpos
+            ),
+            m4sz AS (SELECT doc_id, count(*) AS sz FROM m4 GROUP BY doc_id),
+            pc AS (
+              SELECT a.doc_id AS tgt_id, b.doc_id AS src_id, count(*) AS c
+              FROM m4 a JOIN m4 b ON a.tok = b.tok
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            sc AS (
+              SELECT tgt_id, src_id,
+                     2.0 * CAST(c AS DOUBLE)
+                       / (CAST(ss.sz AS DOUBLE) + CAST(ts.sz AS DOUBLE)) AS score
+              FROM pc
+              JOIN m4sz ts ON ts.doc_id = tgt_id
+              JOIN m4sz ss ON ss.doc_id = src_id
+            ),
+            rk AS (
+              SELECT *, row_number() OVER (PARTITION BY tgt_id
+                                           ORDER BY score DESC, src_id ASC) AS rn
+              FROM sc
+            ),
+            kth AS (
+              SELECT tgt_id, max(CASE WHEN rn = 1 THEN score END) AS kv
+              FROM rk GROUP BY tgt_id
+            )
+            SELECT s.tgt_id AS left_id, s.src_id AS right_id, s.score
+            FROM sc s JOIN kth k USING (tgt_id)
+            WHERE k.kv IS NULL OR s.score >= k.kv
+        """,
         "tuned_workflow": f"""
             WITH {_TOKS}, {_BSTATS}, {_PURGE}, {_filter_sql(0.625)},
             fnb AS (SELECT doc_id, count(*) AS nb FROM filtered GROUP BY doc_id),

@@ -271,6 +271,74 @@ JOIN_TUNED: dict[str, dict[str, tuple]] = {
 
 
 @dataclass(frozen=True)
+class ReferenceJoinConfig:
+    """Decoded operating point of one tuned similarity-join driver cell.
+
+    ``reversed`` is the kNN drivers' direction flag
+    (``TopKSchemaAgnosticJoin.java:29,49-56`` / ``TopKSchemaBasedJoin.java``):
+    when set, dataset-2 is read as the indexed SOURCE and dataset-1 as the
+    queried TARGET (per-d1-entity top-k), with emission flipped back to
+    (d1_id, d2_id) order (``TopKSchemaAgnosticJoin.java:164-170``).
+    """
+
+    dataset: str
+    kind: str                       # "epsilon" | "topk"
+    schema_based: bool
+    similarity: str                 # engine name: cosine | dice | jaccard
+    tokenizer: str                  # reference Tokenizer enum name
+    threshold: float | None = None  # epsilon joins
+    k: int | None = None            # top-k joins
+    reversed: bool = False          # top-k joins only
+    attribute: str | None = None    # schema-based joins
+
+
+_SIM_ENUM = {"COSINE": "cosine", "DICE": "dice", "JACCARD": "jaccard"}
+_NGRAM_SIZES = {"BIGRAMS": 2, "TRIGRAMS": 3, "FOURGRAMS": 4, "FIVEGRAMS": 5}
+
+
+def from_reference_join(
+    kind: str, dataset: str, schema_based: bool = False
+) -> ReferenceJoinConfig:
+    """Decode the tuned operating point of one join driver cell.
+
+    ``kind``: epsilon | topk; ``dataset``: D1..D10 (schema-based drivers
+    cover only their 6 published datasets).
+    """
+    key = f"{kind}_schema_{'based' if schema_based else 'agnostic'}"
+    grid = JOIN_TUNED[key]
+    d = grid.get("datasets", DATASETS).index(dataset)
+    return ReferenceJoinConfig(
+        dataset=dataset,
+        kind=kind,
+        schema_based=schema_based,
+        similarity=_SIM_ENUM[grid["similarity"][d]],
+        tokenizer=grid["tokenizer"][d],
+        threshold=grid["threshold"][d] if "threshold" in grid else None,
+        k=grid["k"][d] if "k" in grid else None,
+        reversed=bool(grid["reversed"][d]) if "reversed" in grid else False,
+        attribute=grid["attribute"][d] if "attribute" in grid else None,
+    )
+
+
+def tokenizer_column(name: str, col):
+    """Reference ``Tokenizer`` enum name -> engine token Column over a text
+    column (functions/tokenize.py implementations)."""
+    from .functions import tokenize as tk
+
+    if name == "WHITESPACE":
+        return tk.word_token_set(col)
+    if name == "WHITESPACE_MULTISET":
+        return tk.word_token_multiset(col)
+    parts = name.split("_")
+    if parts[0] == "CHARACTER" and parts[1] in _NGRAM_SIZES:
+        n = _NGRAM_SIZES[parts[1]]
+        if name.endswith("_MULTISET"):
+            return tk.char_ngram_multiset(col, n)
+        return tk.char_ngram_set(col, n)
+    raise ValueError(f"unknown tokenizer {name!r}")
+
+
+@dataclass(frozen=True)
 class ReferenceBlockingConfig:
     """Decoded engine parameters for one (method, level, dataset) cell."""
 

@@ -272,3 +272,35 @@ def topk_join(
     return out.select(
         F.col("src_id").alias("left_id"), F.col("tgt_id").alias("right_id"), F.col("score")
     )
+
+
+def topk_join_directed(
+    d1: DataFrame,
+    d2: DataFrame,
+    k: int,
+    sim: str = "cosine",
+    reverse: bool = False,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """J2's per-dataset direction flag (``TopKSchemaAgnosticJoin.java:29``,
+    dataset swap at ``:49-56``, emission flip at ``:164-170``): the tuned
+    drivers pick which dataset plays the indexed SOURCE vs the queried
+    TARGET per dataset pair, usually putting the smaller side on the query
+    (per-entity top-k) axis.
+
+    ``reverse=False``: d1 is the source, each d2 entity keeps its k best
+    d1 candidates. ``reverse=True``: d2 is the source, each d1 entity keeps
+    its k best d2 candidates. Either way the output is emitted in fixed
+    (left=d1_id, right=d2_id, score) order, exactly as the reference flips
+    the pair at emission so downstream ground-truth comparison is
+    direction-agnostic.
+    """
+    if not reverse:
+        return topk_join(d1, d2, k, sim, tokens_col, id_col)
+    out = topk_join(d2, d1, k, sim, tokens_col, id_col)
+    return out.select(
+        F.col("right_id").alias("left_id"),
+        F.col("left_id").alias("right_id"),
+        F.col("score"),
+    )

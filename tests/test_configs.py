@@ -216,3 +216,33 @@ def test_bf_grid0_follows_each_drivers_quality_pass():
             assert abs(cfg.bf_ratio - 0.025) < 1e-12, (level, d)
     # token blocking: -1 sentinel means off (l1 D6)
     assert C.from_reference("token_blocking", "L1", "D6").bf_ratio is None
+
+
+def test_join_config_decodes_reversed_cells():
+    """from_reference_join carries the kNN drivers' direction flag
+    (TopKSchemaAgnosticJoin.java:29 / TopKSchemaBasedJoin.java) plus the
+    per-dataset K / similarity / tokenizer as data, so replaying a tuned
+    run is turnkey — reversal is no longer a call-site convention."""
+    cfg = C.from_reference_join("topk", "D1")
+    assert (cfg.k, cfg.reversed) == (1, True)
+    assert cfg.similarity == "dice"
+    assert cfg.tokenizer == "CHARACTER_FOURGRAMS_MULTISET"
+    assert C.from_reference_join("topk", "D2").reversed is False
+    sb = C.from_reference_join("topk", "D8", schema_based=True)
+    assert (sb.k, sb.reversed, sb.attribute) == (6, True, "Title")
+    eps = C.from_reference_join("epsilon", "D4")
+    assert eps.threshold == 0.58 and eps.similarity == "jaccard"
+    assert eps.reversed is False  # epsilon drivers have no direction flag
+
+
+def test_tokenizer_column_names_round_trip():
+    import pytest
+
+    for name in (
+        "WHITESPACE", "WHITESPACE_MULTISET",
+        "CHARACTER_BIGRAMS", "CHARACTER_TRIGRAMS_MULTISET",
+        "CHARACTER_FOURGRAMS", "CHARACTER_FIVEGRAMS_MULTISET",
+    ):
+        C.tokenizer_column(name, __import__("pyspark").sql.functions.lit("abcdef"))
+    with pytest.raises(ValueError):
+        C.tokenizer_column("CHARACTER_SIXGRAMS", None)

@@ -131,3 +131,26 @@ def test_topk_self_join_canonical_dedup(spark):
     got = topk_join(df, None, k=2, sim="cosine").toPandas()
     assert (got.left_id < got.right_id).all()
     assert got.duplicated(subset=["left_id", "right_id"]).sum() == 0
+
+
+def test_topk_join_directed_flips_roles_not_emission(spark):
+    """reverse=True must swap which side gets the per-entity top-k window
+    (TopKSchemaAgnosticJoin.java:49-56) while keeping (d1, d2) emission
+    order (:164-170): with k=1, forward keeps one pair per d2 entity,
+    reversed one pair per d1 entity — both emit left ids from d1."""
+    from continuousfilteringbenchmark_spark.operators.joins import topk_join_directed
+
+    d1 = spark.createDataFrame(
+        [("a1", ["x", "y"]), ("a2", ["x", "z"])], "doc_id string, tokens array<string>"
+    )
+    d2 = spark.createDataFrame(
+        [("b1", ["x"]), ("b2", ["y", "z"]), ("b3", ["q"])],
+        "doc_id string, tokens array<string>",
+    )
+    fwd = topk_join_directed(d1, d2, 1, "jaccard", reverse=False).collect()
+    rev = topk_join_directed(d1, d2, 1, "jaccard", reverse=True).collect()
+    assert all(r.left_id.startswith("a") and r.right_id.startswith("b") for r in fwd + rev)
+    # forward: per-d2 top-1 -> one winner per d2 entity with any overlap
+    assert sorted({r.right_id for r in fwd}) == ["b1", "b2"]
+    # reversed: per-d1 top-1 -> one winner per d1 entity
+    assert sorted({r.left_id for r in rev}) == ["a1", "a2"]

@@ -2,9 +2,11 @@
 
 The reference's three physical input shapes re-expressed for Spark:
 
-* S1/S2 Java-serialized EntityProfile/IdDuplicates lists -> the canonical
-  ``docs`` / ``gold_pairs`` tables read from parquet (or Iceberg when the
-  runtime jar is present — see sources/iceberg.py).
+* S1/S2 Java-serialized EntityProfile/IdDuplicates lists -> parsed
+  NATIVELY (no JVM) by ``sources/javaser.py``'s serialization-stream
+  decoder into the canonical ``docs`` / ``gold_pairs`` tables, staged once
+  to parquet (or Iceberg when the runtime jar is present — see
+  sources/iceberg.py) for distributed reads.
 * S3 ``%``-delimited embedding CSV (``nnmethods/faiss/D4sa.py:17-73``):
   stringified float vectors parsed natively, empty-vector rows dropped with
   id bookkeeping (the reference tracks dropped ids manually — here it's a

@@ -1259,17 +1259,20 @@ def q_fs_em_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X30 IVF-PQ composition (FAISS IVF16,PQ8 shape): sampled coarse
     cells prune (nprobe=4 of 16), PQ codes compress the cell contents
-    (8 subspaces x 16 codewords, seed+1 draw), ADC scan + exact re-rank
-    of the top 4k. Fully deterministic; the oracle replays centroid draw,
-    routing, codes, ADC scores and the re-rank."""
+    (8 subspaces x 64 codewords, seed+1 draw), ADC scan + exact re-rank
+    of the top 8k. Fully deterministic; the oracle replays centroid draw,
+    routing, codes, ADC scores and the re-rank. Operating point set by the
+    recall gate (tests/test_dense.py): 64 codewords + 8x re-rank reach
+    recall@5 ~0.99 on clustered corpora at this nprobe; the 16-codeword
+    codebook bottomed out at ~0.6."""
     from continuousfilteringbenchmark_spark.operators.dense import knn_ivfpq
 
     vecs = _embeddings(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("vec")
     )
     return knn_ivfpq(
-        vecs, None, k=5, n_cells=16, nprobe=4, m_sub=8, k_sub=16,
-        rerank_factor=4, id_col="vec_id",
+        vecs, None, k=5, n_cells=16, nprobe=4, m_sub=8, k_sub=64,
+        rerank_factor=8, id_col="vec_id",
     )
 
 
@@ -2129,11 +2132,12 @@ for _c in "0123456":
     )
 
 
-def _pq_cte(seed: int) -> str:
+def _pq_cte(seed: int, k_sub: int = 16) -> str:
     """PQ codebook/encode/reconstruction CTE block over `nv` (embeddings,
-    d=64, m=8 subspaces, k=16 codewords): sampled codebook = the 16 rows
-    with the smallest md5("id:seed") keys; per-subspace L2-nearest code
-    (tie: smallest); recon = concatenated codewords in subspace order."""
+    d=64, m=8 subspaces, ``k_sub`` codewords): sampled codebook = the
+    k_sub rows with the smallest md5("id:seed") keys; per-subspace
+    L2-nearest code (tie: smallest); recon = concatenated codewords in
+    subspace order."""
     return f"""sampr AS (
               SELECT u,
                      row_number() OVER (
@@ -2143,7 +2147,7 @@ def _pq_cte(seed: int) -> str:
                                 CAST(vec_id AS VARCHAR) ASC) - 1 AS j
               FROM nv
             ),
-            samp AS (SELECT u, j FROM sampr WHERE j < 16),
+            samp AS (SELECT u, j FROM sampr WHERE j < {k_sub}),
             dists AS (
               SELECT n.vec_id, ii.i, s.j,
                      list_sum(list_transform(generate_series(1, 8),
@@ -4101,8 +4105,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 5
         """,
         # IVF-PQ: seed-42 sampled centroids route (corpus 1 cell, queries
-        # probe 4 of 16); seed-43 PQ codebook scores dot(query, recon)
-        # inside probed cells; top-20 per query re-rank exactly to top-5
+        # probe 4 of 16); seed-43 PQ codebook (64 codewords — measured
+        # recall gate: 16 codewords bottomed recall at ~0.6 even on
+        # clustered corpora, 64 reaches 0.99; tests/test_dense.py) scores
+        # dot(query, recon) inside probed cells; top-40 per query re-rank
+        # exactly to top-5
         "knn_ivfpq": f"""
             WITH {_NVEC},
             keyed AS (
@@ -4127,7 +4134,7 @@ def oracle_sql() -> dict[str, str]:
                                 c.cell ASC) AS rn
               FROM nv n CROSS JOIN cent c
             ),
-            {_pq_cte(43)},
+            {_pq_cte(43, 64)},
             sc AS (
               SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
                      list_sum(list_transform(generate_series(1, 64),
@@ -4150,7 +4157,7 @@ def oracle_sql() -> dict[str, str]:
               FROM topm t
               JOIN nv q ON q.vec_id = t.query_id
               JOIN nv c ON c.vec_id = t.corpus_id
-              WHERE t.rm <= 20
+              WHERE t.rm <= 40
             )
             SELECT query_id, corpus_id, score FROM (
               SELECT rr.*, row_number() OVER (PARTITION BY query_id

@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "corpus_curation",
     "knn_ivf_approx",
+    "knn_ivfpq",
     "range_search_lsh",
     "er_clusters",
 ]

@@ -25,8 +25,11 @@ ids ride the rows.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.similarity import cosine_dense
 
@@ -553,61 +556,59 @@ def pq_train(
 
 def _pq_code_col(flat: list[float], m_sub: int, k_sub: int, dsub: int) -> "F.Column":
     """codes[i] = argmin_j ||x_sub_i - codeword_ij||^2 over a normalized
-    vector column ``_v`` — triple-nested higher-order functions, pure
-    codegen (per-row cost m*k*dsub multiply-adds). The distance fold is
-    dimension-sequential and ties keep the SMALLEST codeword index
-    (strict-less fold), so a SQL argmin ordered by (dist, code) replays
-    the codes exactly."""
-    cw = F.array(*[F.lit(x) for x in flat])
-    subs = F.sequence(F.lit(0), F.lit(m_sub - 1))
+    vector column ``_v``, as ONE numpy pandas-UDF batched over Arrow.
 
-    def best_code(i):
-        # array_min over (dist, j) structs: ONE dist evaluation per codeword
-        # (lambda bindings get no CSE — a conditional fold would evaluate
-        # the distance twice per step); struct ordering = (dist ASC, j ASC),
-        # so ties keep the smallest codeword index, matching the SQL argmin
-        return F.array_min(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(k_sub - 1)),
-                lambda jj: F.struct(
-                    _pq_dist(i, jj, dsub, k_sub, cw).alias("d"),
-                    jj.cast("int").alias("j"),
-                ),
-            )
-        )["j"]
+    An earlier triple-nested higher-order-function formulation claimed
+    "pure codegen" — wrong: Catalyst evaluates HOF lambdas interpreted,
+    per element (same finding as ``lsh.py``'s minhash note), and measuring
+    both on the sf0.1 embeddings (2,000 x d=64, m=8, k=16) gave HOF ~1.05s
+    vs numpy ~0.21s for the encode stage (identical codes). The distance
+    accumulation below loops dimensions EXPLICITLY so the float adds run
+    in the same left-fold order as the SQL oracle, and ``np.argmin`` keeps
+    the first (= smallest) codeword index on ties — codes stay bit-exact
+    against the oracle's (dist ASC, code ASC) argmin."""
+    cwv = np.asarray(flat, dtype=np.float64).reshape(m_sub, k_sub, dsub)
 
-    return F.transform(subs, lambda i: best_code(i))
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        Xs = X.reshape(len(X), m_sub, dsub)
+        acc = np.zeros((len(X), m_sub, k_sub), dtype=np.float64)
+        for dd in range(dsub):  # explicit left fold: oracle-exact add order
+            diff = Xs[:, :, dd][:, :, None] - cwv[None, :, :, dd]
+            acc = acc + diff * diff
+        out = np.argmin(acc, axis=2).astype(np.int32)
+        return pd.Series(list(out))
 
-
-def _pq_dist(i, jj, dsub, k_sub, cw):
-    """||x_sub_i - codeword_i_jj||^2, dimension-sequential left fold."""
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(dsub - 1)),
-        F.lit(0.0),
-        lambda acc, dd: acc
-        + (
-            F.element_at(F.col("_v"), i * F.lit(dsub) + dd + 1)
-            - F.element_at(cw, (i * F.lit(k_sub) + jj) * F.lit(dsub) + dd + 1)
-        )
-        * (
-            F.element_at(F.col("_v"), i * F.lit(dsub) + dd + 1)
-            - F.element_at(cw, (i * F.lit(k_sub) + jj) * F.lit(dsub) + dd + 1)
-        ),
-    )
+    return codes(F.col("_v"))
 
 
-def _pq_recon_col(flat: list[float], m_sub: int, k_sub: int, dsub: int) -> "F.Column":
-    """Reconstruction from a ``_codes`` column: concatenation of the chosen
-    codewords (d doubles, built on the fly from the broadcast literal
-    codebook — the STORED representation stays the m-byte code array)."""
-    cw = F.array(*[F.lit(x) for x in flat])
-    return F.flatten(
-        F.zip_with(
-            F.col("_codes"),
-            F.sequence(F.lit(0), F.lit(m_sub - 1)),
-            lambda c, i: F.slice(cw, (i * F.lit(k_sub) + c) * F.lit(dsub) + 1, dsub),
-        )
-    )
+def _adc_score(flat: list[float], m_sub: int, k_sub: int, dsub: int, qv_col: str) -> "F.Column":
+    """ADC approximate score = dot(query, PQ reconstruction) as one numpy
+    pandas-UDF over (query vector, code array) — replaces an interpreted
+    ``flatten(zip_with(...))`` reconstruction + 64-element ``aggregate``
+    fold per candidate pair (the scan's hot loop: ~nprobe/n_cells of the
+    corpus per query). The accumulation loops dimensions EXPLICITLY in
+    ascending order, reproducing the SQL oracle's dimension-sequential
+    left fold bit-for-bit; the gather from the broadcast codebook is
+    float-exact (no arithmetic)."""
+    cwv = np.asarray(flat, dtype=np.float64).reshape(m_sub, k_sub, dsub)
+
+    @F.pandas_udf(T.DoubleType())
+    def adc(qv: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        Q = np.stack([np.asarray(v, dtype=np.float64) for v in qv])
+        C = np.stack([np.asarray(c, dtype=np.int64) for c in codes])
+        R = cwv[np.arange(m_sub)[None, :], C].reshape(len(Q), m_sub * dsub)
+        acc = np.zeros(len(Q), dtype=np.float64)
+        for d in range(m_sub * dsub):  # oracle-exact left-fold add order
+            acc = acc + Q[:, d] * R[:, d]
+        return pd.Series(acc)
+
+    return adc(F.col(qv_col), F.col("_codes"))
 
 
 def knn_pq(
@@ -655,15 +656,7 @@ def knn_pq(
     scored = (
         q.crossJoin(enc)
         .where(F.col("query_id") != F.col("corpus_id"))
-        .withColumn("_recon", _pq_recon_col(flat, m_sub, k_sub, dsub))
-        .withColumn(
-            "qscore",
-            F.aggregate(
-                F.zip_with("_v", "_recon", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-        )
+        .withColumn("qscore", _adc_score(flat, m_sub, k_sub, dsub, "_v"))
     )
     return _exact_rerank(
         scored,
@@ -727,16 +720,7 @@ def knn_ivfpq(
         .join(enc.repartition(npart, "cell"), "cell")
         .where(F.col("query_id") != F.col("corpus_id"))
     )
-    cand = cand.withColumn(
-        "_recon", _pq_recon_col(flat, m_sub, k_sub, dsub)
-    ).withColumn(
-        "qscore",
-        F.aggregate(
-            F.zip_with("_qv", "_recon", lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
+    cand = cand.withColumn("qscore", _adc_score(flat, m_sub, k_sub, dsub, "_qv"))
     return _exact_rerank(
         cand,
         queries.select(F.col(id_col).alias("query_id"), _norm(vec_col).alias("_qv")),

@@ -766,6 +766,43 @@ def q_crosspolytope_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(bands)
 
 
+def q_crosspolytope_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4 multiprobe: FALCONN's cross-polytope probe axis
+    (``nnmethods/scalabilityAnalysis/CP_LSH.py:53`` number_of_probes=2497
+    over 128 tables; ours covers the single-substitution rung) — HALF the
+    tables of q_crosspolytope_lsh (4 vs 8) with both single-rotation
+    probes per table: the weakest-margin rotation flipped to its runner-up
+    vertex, then the second-weakest. Probe buckets join BASE buckets
+    (FALCONN probes a static index). The oracle replays the identical
+    rounded-magnitude vertex ranking and margin-ordered probe sequence."""
+    from continuousfilteringbenchmark_spark.operators.lsh import crosspolytope_bands
+
+    vecs = _embeddings(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    probe = crosspolytope_bands(
+        vecs, n_tables=4, n_rotations=2, proj_dim=16, id_col="vec_id", n_probes=2
+    )
+    npart = probe.sparkSession.sparkContext.defaultParallelism
+    l = probe.select("band", "bucket", F.col("doc_id").alias("a")).repartition(
+        npart, "band", "bucket"
+    )
+    r = (
+        probe.where(F.col("rank") == 0)
+        .select("band", "bucket", F.col("doc_id").alias("b"))
+        .repartition(npart, "band", "bucket")
+    )
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("left_id"),
+            F.greatest("a", "b").alias("right_id"),
+        )
+        .distinct()
+    )
+
+
 def q_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from continuousfilteringbenchmark_spark.operators.lsh import (
         hyperplane_bands,
@@ -1488,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_bool_vectors": q_ngram_bool_vectors,
         # -- new this round ------------------------------------------------
         "tuned_topk": q_tuned_topk,
+        "crosspolytope_multiprobe": q_crosspolytope_multiprobe,
         # -- headline / core re-certification ------------------------------
         "exact_dedup": q_exact_dedup,
         "text_profile": q_text_profile,
@@ -1945,10 +1983,83 @@ def _crosspolytope_sql(
     proj_dim: int = 16,
     seed: int = 5721840,
     dim: int = 64,
+    n_probes: int = 0,
 ) -> str:
     """CTE chain mirroring ``crosspolytope_bands`` + ``lsh_candidates``
-    (requires _NVEC). Exposes ``cp_cand(left_id, right_id)``."""
+    (requires _NVEC). Exposes ``cp_cand(left_id, right_id)``.
+
+    ``n_probes > 0`` replays the single-substitution probe sequence: ranks
+    by round(abs(pj), 9) (vertex AND margin — matching the Spark probe
+    variant's rounded ordering), probes flip the weakest-margin rotation
+    to its runner-up vertex, probe buckets join BASE buckets, canonical
+    least/greatest pair order."""
     base = 2 * proj_dim
+    if n_probes:
+        return f"""
+cp_w AS (
+  SELECT t.t, r.r, p.p, d.d,
+         CAST('0x' || substring(md5('cp:{seed}:' || CAST(t.t AS VARCHAR) || ':'
+                                    || CAST(r.r AS VARCHAR) || ':'
+                                    || CAST(p.p AS VARCHAR) || ':'
+                                    || CAST(d.d AS VARCHAR)), 1, 10) AS BIGINT)
+           / 1099511627776.0 - 0.5 AS w
+  FROM generate_series(0, {n_tables - 1}) t(t)
+  CROSS JOIN generate_series(0, {n_rotations - 1}) r(r)
+  CROSS JOIN generate_series(0, {proj_dim - 1}) p(p)
+  CROSS JOIN generate_series(0, {dim - 1}) d(d)
+),
+cp_proj AS (
+  SELECT x.vec_id, w.t, w.r, w.p, sum(w.w * x.x) AS pj
+  FROM (SELECT nv.vec_id, d.d, nv.u[d.d + 1] AS x
+        FROM nv CROSS JOIN generate_series(0, {dim - 1}) d(d)) x
+  JOIN cp_w w ON w.d = x.d
+  GROUP BY x.vec_id, w.t, w.r, w.p
+),
+cp_rk AS (
+  SELECT vec_id, t, r, p, pj, round(abs(pj), 9) AS m,
+         row_number() OVER (PARTITION BY vec_id, t, r
+                            ORDER BY round(abs(pj), 9) DESC, p ASC) AS rn
+  FROM cp_proj
+),
+cp_best AS (
+  SELECT b.vec_id, b.t, b.r,
+         b.p * 2 + CASE WHEN b.pj < 0 THEN 1 ELSE 0 END AS v1,
+         s.p * 2 + CASE WHEN s.pj < 0 THEN 1 ELSE 0 END AS v2,
+         b.m - s.m AS margin
+  FROM (SELECT * FROM cp_rk WHERE rn = 1) b
+  JOIN (SELECT * FROM cp_rk WHERE rn = 2) s
+    ON s.vec_id = b.vec_id AND s.t = b.t AND s.r = b.r
+),
+cp_base AS (
+  SELECT vec_id, t AS band,
+         CAST(sum(v1 * CAST(power({base}, r) AS BIGINT)) AS BIGINT) AS bucket
+  FROM cp_best GROUP BY vec_id, t
+),
+cp_probe_rk AS (
+  SELECT vec_id, t, r, v1, v2,
+         row_number() OVER (PARTITION BY vec_id, t
+                            ORDER BY margin ASC, r ASC) AS j
+  FROM cp_best
+),
+cp_probes AS (
+  SELECT p.vec_id, p.t AS band,
+         b.bucket + (p.v2 - p.v1) * CAST(power({base}, p.r) AS BIGINT) AS bucket
+  FROM cp_probe_rk p
+  JOIN cp_base b ON b.vec_id = p.vec_id AND b.band = p.t
+  WHERE p.j <= {n_probes}
+),
+cp_all AS (
+  SELECT vec_id, band, bucket FROM cp_base
+  UNION ALL
+  SELECT vec_id, band, bucket FROM cp_probes
+),
+cp_cand AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS left_id,
+                  greatest(a.vec_id, b.vec_id) AS right_id
+  FROM cp_all a
+  JOIN cp_base b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.vec_id <> b.vec_id
+)"""
     return f"""
 cp_w AS (
   SELECT t.t, r.r, p.p, d.d,
@@ -3172,6 +3283,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crosspolytope_lsh": f"""
             WITH {_NVEC}, {_crosspolytope_sql(n_tables=8, n_rotations=2, proj_dim=16)}
+            SELECT left_id, right_id FROM cp_cand
+        """,
+        "crosspolytope_multiprobe": f"""
+            WITH {_NVEC}, {_crosspolytope_sql(n_tables=4, n_rotations=2,
+                                              proj_dim=16, n_probes=2)}
             SELECT left_id, right_id FROM cp_cand
         """,
         "range_search_multiprobe": f"""

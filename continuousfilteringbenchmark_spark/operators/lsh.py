@@ -327,6 +327,7 @@ def crosspolytope_bands(
     seed: int = 5721840,  # same pinned seed family as the FALCONN scripts
     vec_col: str = "vec",
     id_col: str = "doc_id",
+    n_probes: int = 0,
 ) -> DataFrame:
     """N4 cross-polytope LSH signatures (FALCONN CrossPolytope family,
     ``nnmethods/falconn/crosspolytopeLSH/D4.py``; scalability config l=128,k=2
@@ -335,37 +336,108 @@ def crosspolytope_bands(
     Per table: ``n_rotations`` pseudo-random rotations (Gaussian projections
     to ``proj_dim``); each hash = index of the largest-|coordinate| axis with
     its sign (a vertex of the cross-polytope, 2*proj_dim outcomes); the
-    table's bucket is the base-(2*proj_dim) concatenation. Multiprobe is
-    replaced by more tables (SURVEY.md N3/N4 contract). Rotations are
+    table's bucket is the base-(2*proj_dim) concatenation. Rotations are
     md5-derived (``hash_uniforms``) for exact oracle parity.
 
-    Output: (doc_id, band int, bucket long).
+    ``n_probes > 0`` is FALCONN's cross-polytope probe axis
+    (``CP_LSH.py:53`` number_of_probes; ours covers the single-substitution
+    rung of that sequence): probe j re-hashes the table with the j-th
+    WEAKEST rotation — smallest margin round(|top|,9) - round(|second|,9),
+    tie -> lower rotation — flipped to its runner-up vertex (second-largest
+    rounded |coordinate| with its own sign; the opposite-sign vertex of the
+    winning axis is always the farthest, so the runner-up axis is the
+    correct next-closest vertex). At most ``n_rotations`` single
+    substitutions exist, so ``n_probes`` caps there; in the probe variant
+    the BASE vertex also ranks by rounded magnitude so the probe sequence
+    and base bucket come from one ordering the SQL oracle replays verbatim.
+
+    Output: (doc_id, band int, bucket long) — or with ``rank int`` (0 =
+    base, j >= 1 = j-th probe) when ``n_probes > 0``; a probe pass CONTAINS
+    the base rows, so consumers filter ``rank = 0`` for the indexed side.
     """
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])
     rots = hash_uniforms(f"cp:{seed}", (n_tables, n_rotations, proj_dim, dim))
+    base = 2 * proj_dim
+    weights = base ** np.arange(n_rotations, dtype=np.int64)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def buckets(vec: pd.Series) -> pd.Series:
+    if not n_probes:
+
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def buckets(vec: pd.Series) -> pd.Series:
+            out = []
+            for v in vec:
+                x = np.asarray(v, dtype=np.float64)
+                n = np.linalg.norm(x)
+                if n > 0:
+                    x = x / n
+                proj = np.einsum("trpd,d->trp", rots, x)  # (t, r, p)
+                axis = np.abs(proj).argmax(axis=2)  # (tables, rotations)
+                sign = (
+                    np.take_along_axis(proj, axis[:, :, None], axis=2)[:, :, 0] < 0
+                ).astype(np.int64)
+                vertex = axis * 2 + sign  # in [0, 2*proj_dim)
+                out.append((vertex * weights).sum(axis=1).tolist())
+            return pd.Series(out)
+
+        return vecs.select(
+            F.col(id_col).alias("doc_id"), buckets(F.col(vec_col)).alias("_b")
+        ).select("doc_id", F.posexplode("_b").alias("band", "bucket"))
+
+    probe_schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("band", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+            ]
+        )
+    )
+
+    @F.pandas_udf(probe_schema)
+    def probe_buckets(vec: pd.Series) -> pd.Series:
         out = []
-        base = 2 * proj_dim
+        nj = min(n_probes, n_rotations)
         for v in vec:
             x = np.asarray(v, dtype=np.float64)
             n = np.linalg.norm(x)
             if n > 0:
                 x = x / n
-            proj = np.einsum("trpd,d->trp", rots, x)  # (tables, rotations, proj_dim)
-            axis = np.abs(proj).argmax(axis=2)  # (tables, rotations)
-            sign = (np.take_along_axis(proj, axis[:, :, None], axis=2)[:, :, 0] < 0).astype(
-                np.int64
-            )
-            vertex = axis * 2 + sign  # in [0, 2*proj_dim)
-            weights = base ** np.arange(n_rotations, dtype=np.int64)
-            out.append((vertex * weights).sum(axis=1).tolist())
+            proj = np.einsum("trpd,d->trp", rots, x)  # (t, r, p)
+            absj = np.round(np.abs(proj), 9)
+            order = np.argsort(-absj, axis=2, kind="stable")  # ties -> axis asc
+            top = order[:, :, 0]
+            second = order[:, :, 1]
+
+            def vert(ax):
+                s = (np.take_along_axis(proj, ax[:, :, None], axis=2)[:, :, 0] < 0)
+                return ax * 2 + s.astype(np.int64)
+
+            v1, v2 = vert(top), vert(second)
+            margin = np.take_along_axis(absj, top[:, :, None], axis=2)[
+                :, :, 0
+            ] - np.take_along_axis(absj, second[:, :, None], axis=2)[:, :, 0]
+            weak = np.argsort(margin, axis=1, kind="stable")  # ties -> rot asc
+            bkt = (v1 * weights).sum(axis=1)
+            rows = [(t, int(bkt[t]), 0) for t in range(n_tables)]
+            for j in range(nj):
+                rr = weak[:, j]
+                delta = (
+                    np.take_along_axis(v2 - v1, rr[:, None], axis=1)[:, 0]
+                    * weights[rr]
+                )
+                rows += [(t, int(bkt[t] + delta[t]), j + 1) for t in range(n_tables)]
+            out.append(rows)
         return pd.Series(out)
 
-    return vecs.select(F.col(id_col).alias("doc_id"), buckets(F.col(vec_col)).alias("_b")).select(
-        "doc_id", F.posexplode("_b").alias("band", "bucket")
+    return vecs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(probe_buckets(F.col(vec_col))).alias("_bb"),
+    ).select(
+        "doc_id",
+        F.col("_bb.band").alias("band"),
+        F.col("_bb.bucket").alias("bucket"),
+        F.col("_bb.rank").alias("rank"),
     )
 
 

@@ -250,3 +250,34 @@ def test_deepblocker_topk_pairs_near_duplicates(spark):
     ivf = deepblocker_topk(df, None, k=1, dim=16, method="ivf", n_cells=2, nprobe=2)
     best_ivf = {r.query_id: r.corpus_id for r in ivf.collect()}
     assert best_ivf["1"] == "2" and best_ivf["3"] == "4"
+
+
+def test_crosspolytope_multiprobe_structure(spark):
+    """Probe rows: rank 0 = the base pass (identical to n_probes=0 modulo
+    the rounded-magnitude ranking), each probe bucket differs from its
+    table's base bucket in exactly one base-(2*proj_dim) digit, and probe
+    ranks are 1..n_rotations."""
+    from continuousfilteringbenchmark_spark.operators.lsh import crosspolytope_bands
+    from pyspark.sql import functions as F
+
+    vecs = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+        .limit(50)
+    )
+    probe = crosspolytope_bands(
+        vecs, n_tables=4, n_rotations=2, proj_dim=16, id_col="vec_id", n_probes=2
+    ).cache()
+    base = {(r.doc_id, r.band): r.bucket for r in probe.where("rank = 0").collect()}
+    assert len(base) == 50 * 4
+    probes = probe.where("rank > 0").collect()
+    assert {r.rank for r in probes} == {1, 2}
+    assert len(probes) == 50 * 4 * 2
+    for r in probes:
+        b = base[(r.doc_id, r.band)]
+        assert r.bucket != b
+        # single-substitution: exactly one base-32 digit differs
+        diffs = sum(
+            1 for k in range(2) if (r.bucket // 32**k) % 32 != (b // 32**k) % 32
+        )
+        assert diffs == 1, (r.bucket, b)

@@ -1082,6 +1082,24 @@ def q_tuned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_join_directed(d1, d2, cfg.k, cfg.similarity, reverse=cfg.reversed)
 
 
+def q_tuned_ejoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 tuned ε-join replay THROUGH the config registry — the epsilon
+    twin of q_tuned_topk: ``configs.from_reference_join('epsilon', 'D4')``
+    decodes the DBLP-ACM cell (``SchemaAgnosticEJoin.java:31-41``, index 3:
+    threshold 0.58, JACCARD over WHITESPACE tokens) and drives the
+    clean-clean two-table ε-join with it over the even/odd doc_id split."""
+    from continuousfilteringbenchmark_spark import configs
+    from continuousfilteringbenchmark_spark.operators.joins import epsilon_join
+
+    cfg = configs.from_reference_join("epsilon", "D4")
+    toks = _documents(spark, sf_dir).select(
+        "doc_id", configs.tokenizer_column(cfg.tokenizer, "text").alias("tokens")
+    )
+    d1 = toks.where(F.col("doc_id") % 2 == 0)
+    d2 = toks.where(F.col("doc_id") % 2 == 1)
+    return epsilon_join(d1, d2, cfg.threshold, cfg.similarity)
+
+
 def q_deepblocker_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N7 DeepBlocker stand-in (reference ``nnmethods/deepblocker/d4SA.py:
     17-27``; Dirty-ER baseline ``nnmethods/scalabilityAnalysis/DDB.py:13-57``
@@ -1525,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_bool_vectors": q_ngram_bool_vectors,
         # -- new this round ------------------------------------------------
         "tuned_topk": q_tuned_topk,
+        "tuned_ejoin": q_tuned_ejoin,
         "crosspolytope_multiprobe": q_crosspolytope_multiprobe,
         # -- headline / core re-certification ------------------------------
         "exact_dedup": q_exact_dedup,
@@ -1537,11 +1556,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q_corpus_curation,
         "range_search_lsh": q_range_search_lsh,
         "er_clusters": q_er_clusters,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
         "candidate_pairs": q_candidate_pairs,
         "epsilon_join": q_epsilon_join,
         "topk_join": q_topk_join,
         "clean_clean_er": q_clean_clean_er,
-        "jaro_winkler_pairs": q_jaro_winkler_pairs,
         # -- round-3 driver-green on unchanged code (past the prefix) ------
         "epsilon_join_prefix": q_epsilon_join_prefix,
         "metablocking_js_wep": q_metablocking_js_wep,
@@ -3622,6 +3641,24 @@ def oracle_sql() -> dict[str, str]:
         # BlockFiltering(0.625) -> JS weights -> reciprocal CNP with the
         # derived per-node budget (same kval/ne/flags chain as
         # jedai_workflow; reciprocal = pass at BOTH endpoints)
+        # D4 cell of the tuned ε-join grid: Jaccard >= 0.58 over word-set
+        # tokens, clean-clean even/odd split
+        "tuned_ejoin": f"""
+            WITH {_TOKS},
+            pc AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS c
+              FROM toks a JOIN toks b ON a.tok = b.tok
+              WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT p.left_id, p.right_id,
+                   CAST(p.c AS DOUBLE) / (l.sz + r.sz - p.c) AS score
+            FROM pc p
+            JOIN tsz l ON l.doc_id = p.left_id
+            JOIN tsz r ON r.doc_id = p.right_id
+            WHERE CAST(p.c AS DOUBLE) / (l.sz + r.sz - p.c)
+                  >= CAST(0.58 AS DOUBLE)
+        """,
         # D1 cell of the tuned kNN grid: K=1, reversed (d1=even is the
         # QUERY side, d2=odd the indexed source), DICE over fourgram
         # multisets; emission in fixed (d1, d2) order

@@ -93,6 +93,47 @@ def run_levels(levels: list[int], path: str) -> dict[int, dict]:
     return best
 
 
+def _write_anchor(n_entities: int, best: dict[int, dict]) -> None:
+    """Single-level mode: append a throughput ANCHOR section to
+    BENCH/NOTES.md (the curated history the comparative report re-appends
+    verbatim) instead of overwriting BENCH/BASELINE.md — used to extend
+    the corpus-size axis (e.g. the reference's largest 2M-entity point)
+    without re-paying the 1-executor leg of the efficiency experiment."""
+    n = next(iter(best))
+    b = best[n]
+    lines = [
+        "",
+        f"## Throughput anchor: {n_entities} entities at {n} executors",
+        "",
+        f"Same job/fixture as the headline report ({b['n_docs']} documents,"
+        f" seed 42), `local-cluster[{n},{EXEC_CORES},6144]`, best of"
+        f" {REPEATS} fresh-JVM runs (all totals: {b['all_totals']} s).",
+        "",
+        f"- total: **{b['total_sec']:.1f} s**;"
+        f" candidate pairs generated+scored: {b['counts']['candidate_pairs']}"
+        f" (matches: {b['counts']['matches']}, clusters: {b['counts']['clusters']})",
+        f"- throughput: **{b['pairs_per_sec']:.0f} pairs/s**",
+        "- stages: "
+        + ", ".join(f"{s} {b['stages'][s]:.1f}s" for s in b["stages"]),
+    ]
+    notes_path = os.path.join(REPO, "BENCH", "NOTES.md")
+    with open(notes_path, "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(
+        json.dumps(
+            {
+                "metric": "throughput_anchor_pairs_per_sec",
+                "value": round(b["pairs_per_sec"], 1),
+                "unit": "pairs/sec",
+                "n_entities": n_entities,
+                "n_docs": b["n_docs"],
+                "executors": n,
+                "total_sec": b["total_sec"],
+            }
+        )
+    )
+
+
 def main() -> None:
     n_entities = int(sys.argv[1]) if len(sys.argv) > 1 else 60_000
     data_dir = os.path.join(REPO, "BENCH", "data")
@@ -102,6 +143,9 @@ def main() -> None:
         generate(n_entities, path)
 
     best = run_levels(sorted(set(LEVELS)), path)
+    if len(best) == 1:
+        _write_anchor(n_entities, best)
+        return
     lo, hi = best[min(best)], best[max(best)]
 
     thr_lo, thr_hi = lo["pairs_per_sec"], hi["pairs_per_sec"]

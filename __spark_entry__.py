@@ -1487,9 +1487,11 @@ def q_unique_mapping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X28 full greedy 1:1 matching fixpoint (JedAI UniqueMappingClustering
     semantics) via iterated local dominance — equal to the sequential
     greedy by construction (pinned against a driver-side reference greedy
-    in ``tests/test_matching.py``). Genuinely iterative (data-dependent
-    round count), so no SQL oracle — the driver records the rows-only
-    check; ``best_match_pairs`` oracle-checks round 1 exactly."""
+    in ``tests/test_matching.py``). EXACT oracle since round 5: the
+    data-dependent round count is handled by unrolling a 3x round budget
+    as chained CTEs with a loud non-convergence poison row
+    (``_unique_mapping_sql``); ``best_match_pairs`` is round 1 of the same
+    unroll."""
     from continuousfilteringbenchmark_spark.operators.matching import (
         unique_mapping_pairs,
     )
@@ -1497,71 +1499,142 @@ def q_unique_mapping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unique_mapping_pairs(q_clean_clean_er(spark, sf_dir))
 
 
+def q_bucketed_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucket-grid co-located scorer (``plans/bucketed.py``) certified
+    against the SAME oracle as ``clean_clean_er``: identical blocking ->
+    purging -> pairs chain, scoring swapped to the over-broadcast-cap scale
+    engine — write-time ``bucket(doc_id)`` token store, pairs shuffled by
+    grid cell as bare ids, token payloads read side-band per cell. One
+    oracle, three physical engines (jvm / arrow / bucketed)."""
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+    from continuousfilteringbenchmark_spark.functions import tokenize as tk
+    from continuousfilteringbenchmark_spark.plans.bucketed import (
+        score_pairs_bucketed,
+        write_token_buckets,
+    )
+
+    documents = _documents(spark, sf_dir)
+    sided = documents.withColumn(
+        "side", F.when(F.col("doc_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B"))
+    )
+    blocks = B.standard_blocking(sided, "text")
+    purged = B.block_purging(blocks, clean_clean=True)
+    pairs = B.pairs_from_blocks(purged, clean_clean=True)
+    toks = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        tk.word_token_set("text").alias("tokens"),
+    )
+    work = _stream_work_dir("bkstore", sf_dir)
+    path = os.path.join(work, "tokens")
+    write_token_buckets(toks, path, n_buckets=8)
+    return score_pairs_bucketed(pairs, path, "jaccard", min_score=0.5)
+
+
+def q_tuned_dirty_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Dirty-ER (der) tuned cell replayed THROUGH the config registry with
+    UNILATERAL gold counting: ``configs.from_reference_der('token_blocking',
+    'L2', 'cddb')`` decodes ``l2/der/TokenBlocking.java:43-50`` dataset 0 —
+    Dirty block purging ON, BlockFiltering grid 4 -> ratio 0.125, CBS
+    weights, WEIGHTED_EDGE_PRUNING — and drives the engine end-to-end over
+    the documents table as one Dirty collection, ending in the driver's
+    BlocksPerformance row (``l2/der/TokenBlocking.java:60,86-88``:
+    ``UnilateralDuplicatePropagation`` — a gold pair counts when found in
+    EITHER orientation, hence the least/greatest canonicalization on both
+    sides of the TP join) against the exact-duplicate gold partition."""
+    from continuousfilteringbenchmark_spark import configs
+
+    cfg = configs.from_reference_der("token_blocking", "L2", "cddb")
+    assert cfg.gold_counting == "unilateral"
+    documents = _documents(spark, sf_dir)
+    sided = documents.withColumn("side", F.lit("A"))
+    blocks = configs.build_blocks_from_reference(sided, cfg, clean_clean=False)
+    cand = configs.candidate_pairs_from_reference(blocks, cfg, clean_clean=False)
+    # unilateral counting: orientation-insensitive TP join
+    cand_c = cand.select(
+        F.least("left_id", "right_id").alias("left_id"),
+        F.greatest("left_id", "right_id").alias("right_id"),
+    ).distinct()
+    norm = documents.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("_h"))
+    gold = (
+        norm.alias("a")
+        .join(norm.alias("b"), "_h")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("left_id"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("right_id"),
+        )
+    )
+    tp = cand_c.join(gold, ["left_id", "right_id"]).agg(F.count("*").alias("tp"))
+    nc = cand_c.agg(F.count("*").alias("n_candidates"))
+    ng = gold.agg(F.count("*").alias("n_gold"))
+    row = tp.crossJoin(nc).crossJoin(ng)
+    pc = F.when(F.col("n_gold") > 0, F.col("tp") / F.col("n_gold")).otherwise(F.lit(0.0))
+    pq = F.when(
+        F.col("n_candidates") > 0, F.col("tp") / F.col("n_candidates")
+    ).otherwise(F.lit(0.0))
+    return row.select(
+        "tp",
+        "n_candidates",
+        "n_gold",
+        pc.alias("pc"),
+        pq.alias("pq"),
+        F.when(pc + pq > 0, 2 * pc * pq / (pc + pq)).otherwise(F.lit(0.0)).alias("f1"),
+    )
+
+
+def q_tuned_schema_workflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A schema-based blocking tuned cell replayed THROUGH the config
+    registry: ``configs.from_reference_schema('token_blocking', 'L1', 'D1')``
+    decodes ``l1/schemaBased/TokenBlocking.java:32-41`` dataset 0 (the
+    restaurants pair at recall level L1 — no purging, BlockFiltering grid
+    35 -> ratio 0.9, CBS weights, RECIPROCAL_CARDINALITY_NODE_PRUNING) and
+    drives P3 projection -> tuned blocking -> tuned cleaning end-to-end:
+    profiles reduced to ONE attribute before blocking exactly as the
+    driver's ``<dataset>_<attribute>`` inputs are (here the engine's
+    ``title`` span kind stands in for the cell's ``Name`` column), sides =
+    the even/odd doc_id split."""
+    from continuousfilteringbenchmark_spark import configs
+    from continuousfilteringbenchmark_spark.datamodel import (
+        documents_to_docs,
+        project_kind,
+    )
+    from continuousfilteringbenchmark_spark.operators import blocking as B
+
+    cfg = configs.from_reference_schema("token_blocking", "L1", "D1")
+    assert cfg.attribute == "Name" and not cfg.block_purging
+    docs = documents_to_docs(_documents(spark, sf_dir))
+    sided = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("side"),
+        project_kind("spans", "title").alias("text"),
+    )
+    blocks = B.standard_blocking(sided, "text")
+    if cfg.bf_ratio is not None:
+        blocks = B.block_filtering(blocks, cfg.bf_ratio, clean_clean=True)
+    return configs.candidate_pairs_from_reference(blocks, cfg, clean_clean=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry ordering is a certification rotation, not cosmetics: the
-    correctness driver verifies a PREFIX of this dict (~50 queries/round), so
-    entries are ordered least-recently-certified first.  Round-4 prefix =
-    the 25 queries with no driver row in any round, then the 7 green only in
-    round 2, then this round's additions, then the headline/bench set for
-    fresh re-certification.  Queries past the prefix hold green rows from
-    round 3 (`CORRECTNESS_r03.json`) on unchanged code.
+    correctness driver verifies a PREFIX of this dict (~50 queries/round),
+    so entries are ordered least-recently-certified first. Round-5 prefix =
+    this round's 4 additions (bucketed_scoring, tuned_dirty_workflow,
+    tuned_schema_workflow, unique_mapping_pairs — the last now carrying its
+    first exact oracle), then the 35 queries the r4 driver rotated out
+    (certified r3 + re-verified locally in r4), then every query backed by
+    a module this round touched (plans/pipeline.py consumers and the
+    configs.py tuned replays), then minhash_dedup. Queries past the prefix
+    hold green rows from round 4 (`CORRECTNESS_r04.json`) on code round 5
+    does not change — a contract now ENFORCED by
+    tests/test_rotation_contract.py, not just asserted here.
     """
     return {
-        # -- never driver-certified (local exact-green only) --------------
-        "tuned_workflow": q_tuned_workflow,
-        "duplicated_ngram_spans": q_duplicated_ngram_spans,
-        "contamination_flags": q_contamination_flags,
-        "repetition_signals": q_repetition_signals,
-        "sorted_neighborhood": q_sorted_neighborhood,
-        "fs_agreements": q_fs_agreements,
-        "fs_weights": q_fs_weights,
-        "fs_scores": q_fs_scores,
-        "fs_em_posterior": q_fs_em_posterior,
-        "fs_gamma_weights": q_fs_gamma_weights,
-        "fs_gamma_scores": q_fs_gamma_scores,
-        "fs_er_clusters": q_fs_er_clusters,
-        "golden_records": q_golden_records,
-        "bcubed_per_doc": q_bcubed_per_doc,
-        "ari_components": q_ari_components,
-        "cluster_diagnostics": q_cluster_diagnostics,
-        "best_match_pairs": q_best_match_pairs,
+        # -- new this round (3 new queries + first exact oracle) ----------
+        "bucketed_scoring": q_bucketed_scoring,
+        "tuned_dirty_workflow": q_tuned_dirty_workflow,
+        "tuned_schema_workflow": q_tuned_schema_workflow,
         "unique_mapping_pairs": q_unique_mapping_pairs,
-        "weighted_epsilon_join": q_weighted_epsilon_join,
-        "phonetic_blocks": q_phonetic_blocks,
-        "deepblocker_pairs": q_deepblocker_pairs,
-        "knn_ivf_approx": q_knn_ivf_approx,
-        "knn_sq8": q_knn_sq8,
-        "knn_pq": q_knn_pq,
-        "knn_ivfpq": q_knn_ivfpq,
-        # -- certified in round 2 only (rotated out of the r3 prefix) -----
-        "simhash_dedup": q_simhash_dedup,
-        "knn_ivf_embeddings": q_knn_ivf_embeddings,
-        "media_features": q_media_features,
-        "hyperplane_lsh": q_hyperplane_lsh,
-        "dedup_assignments": q_dedup_assignments,
-        "shingle_count_vectors": q_shingle_count_vectors,
-        "ngram_bool_vectors": q_ngram_bool_vectors,
-        # -- new this round ------------------------------------------------
-        "tuned_topk": q_tuned_topk,
-        "tuned_ejoin": q_tuned_ejoin,
-        "crosspolytope_multiprobe": q_crosspolytope_multiprobe,
-        # -- headline / core re-certification ------------------------------
-        "exact_dedup": q_exact_dedup,
-        "text_profile": q_text_profile,
-        "lang_histogram": q_lang_histogram,
-        "token_blocks": q_token_blocks,
-        "block_purging": q_block_purging,
-        "block_filtering": q_block_filtering,
-        "minhash_dedup": q_minhash_dedup,
-        "corpus_curation": q_corpus_curation,
-        "range_search_lsh": q_range_search_lsh,
-        "er_clusters": q_er_clusters,
-        "jaro_winkler_pairs": q_jaro_winkler_pairs,
-        "candidate_pairs": q_candidate_pairs,
-        "epsilon_join": q_epsilon_join,
-        "topk_join": q_topk_join,
-        "clean_clean_er": q_clean_clean_er,
-        # -- round-3 driver-green on unchanged code (past the prefix) ------
+        # -- rotated out by the r4 driver (r3-certified + r4 local sweep) --
         "epsilon_join_prefix": q_epsilon_join_prefix,
         "metablocking_js_wep": q_metablocking_js_wep,
         "metablocking_cbs_cnp": q_metablocking_cbs_cnp,
@@ -1597,6 +1670,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crosspolytope_lsh": q_crosspolytope_lsh,
         "crossmodal_candidates": q_crossmodal_candidates,
         "windowed_ingest": q_windowed_ingest,
+        # -- backed by round-5-changed modules: re-certify ------------------
+        "clean_clean_er": q_clean_clean_er,
+        "best_match_pairs": q_best_match_pairs,
+        "er_clusters": q_er_clusters,
+        "cluster_diagnostics": q_cluster_diagnostics,
+        "ari_components": q_ari_components,
+        "golden_records": q_golden_records,
+        "bcubed_per_doc": q_bcubed_per_doc,
+        "tuned_workflow": q_tuned_workflow,
+        "tuned_topk": q_tuned_topk,
+        "tuned_ejoin": q_tuned_ejoin,
+        "minhash_dedup": q_minhash_dedup,
+        # -- r4 driver-green on code round 5 does not change ----------------
+        "duplicated_ngram_spans": q_duplicated_ngram_spans,
+        "contamination_flags": q_contamination_flags,
+        "repetition_signals": q_repetition_signals,
+        "sorted_neighborhood": q_sorted_neighborhood,
+        "fs_agreements": q_fs_agreements,
+        "fs_weights": q_fs_weights,
+        "fs_scores": q_fs_scores,
+        "fs_em_posterior": q_fs_em_posterior,
+        "fs_gamma_weights": q_fs_gamma_weights,
+        "fs_gamma_scores": q_fs_gamma_scores,
+        "fs_er_clusters": q_fs_er_clusters,
+        "weighted_epsilon_join": q_weighted_epsilon_join,
+        "phonetic_blocks": q_phonetic_blocks,
+        "deepblocker_pairs": q_deepblocker_pairs,
+        "knn_ivf_approx": q_knn_ivf_approx,
+        "knn_sq8": q_knn_sq8,
+        "knn_pq": q_knn_pq,
+        "knn_ivfpq": q_knn_ivfpq,
+        "simhash_dedup": q_simhash_dedup,
+        "knn_ivf_embeddings": q_knn_ivf_embeddings,
+        "media_features": q_media_features,
+        "hyperplane_lsh": q_hyperplane_lsh,
+        "dedup_assignments": q_dedup_assignments,
+        "shingle_count_vectors": q_shingle_count_vectors,
+        "ngram_bool_vectors": q_ngram_bool_vectors,
+        "crosspolytope_multiprobe": q_crosspolytope_multiprobe,
+        "exact_dedup": q_exact_dedup,
+        "text_profile": q_text_profile,
+        "lang_histogram": q_lang_histogram,
+        "token_blocks": q_token_blocks,
+        "block_purging": q_block_purging,
+        "block_filtering": q_block_filtering,
+        "corpus_curation": q_corpus_curation,
+        "range_search_lsh": q_range_search_lsh,
+        "jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "candidate_pairs": q_candidate_pairs,
+        "epsilon_join": q_epsilon_join,
+        "topk_join": q_topk_join,
     }
 
 
@@ -2379,8 +2503,82 @@ _ER_CC = f"""{_TOKS}, {_BSTATS}, {_PURGE}, {_FILTER},
             )"""
 
 
+def _unique_mapping_sql(rounds: int = 48) -> str:
+    """EXACT oracle for the greedy 1:1 matching fixpoint: the iterated
+    local-dominance rounds unrolled as ``rounds`` chained NON-recursive
+    CTEs (DuckDB's recursive CTEs allow only one self-reference per step,
+    which cannot express the two endpoint anti-joins — chaining can).
+    Every round CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each
+    round references its predecessor three times, so inlining would
+    re-evaluate the chain 3^rounds times (measured: fd exhaustion well
+    before round 12 without the hint).
+
+    Exactness is self-checking, not assumed: a fixed unroll equals the
+    fixpoint iff the remainder drains within the budget, so the final
+    SELECT appends a poison row (left_id = 'NOT_CONVERGED') whenever
+    ``rem{rounds}`` is non-empty — an under-budgeted oracle hash-mismatches
+    loudly instead of silently dropping the tail. The sf0.01 fixture
+    converges in 34 rounds / 230 pairs (pinned by
+    tests/test_matching.py); 48 is the ~1.4x budget. Round 1 of the same
+    unroll is the long-certified ``best_match_pairs`` oracle."""
+    head = f"""
+            WITH {_CC_PURGE},
+            cpairs AS (
+              SELECT DISTINCT a.doc_id AS lid, b.doc_id AS rid
+              FROM ccpurged a
+              JOIN ccpurged b ON a.block_key = b.block_key AND a.is_a AND NOT b.is_a
+            ),
+            sz AS (SELECT doc_id, count(DISTINCT tok) AS sz FROM cctoks GROUP BY doc_id),
+            common AS (
+              SELECT p.lid, p.rid, count(*) AS c
+              FROM cpairs p
+              JOIN cctoks tl ON tl.doc_id = p.lid
+              JOIN cctoks tr ON tr.doc_id = p.rid AND tl.tok = tr.tok
+              GROUP BY p.lid, p.rid
+            ),
+            rem0 AS MATERIALIZED (
+              SELECT CAST(c.lid AS VARCHAR) AS left_id,
+                     CAST(c.rid AS VARCHAR) AS right_id,
+                     CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) AS score
+              FROM common c
+              JOIN sz l ON l.doc_id = c.lid
+              JOIN sz r ON r.doc_id = c.rid
+              WHERE CAST(c.c AS DOUBLE) / (l.sz + r.sz - c.c) >= 0.5
+            )"""
+    steps = []
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+            rk{i} AS MATERIALIZED (
+              SELECT left_id, right_id, score,
+                     row_number() OVER (PARTITION BY left_id
+                                        ORDER BY score DESC, left_id ASC,
+                                                 right_id ASC) AS rl,
+                     row_number() OVER (PARTITION BY right_id
+                                        ORDER BY score DESC, left_id ASC,
+                                                 right_id ASC) AS rr
+              FROM rem{i - 1}
+            ),
+            dom{i} AS MATERIALIZED (
+              SELECT left_id, right_id, score FROM rk{i} WHERE rl = 1 AND rr = 1
+            ),
+            rem{i} AS MATERIALIZED (
+              SELECT r.left_id, r.right_id, r.score FROM rem{i - 1} r
+              WHERE r.left_id  NOT IN (SELECT left_id  FROM dom{i})
+                AND r.right_id NOT IN (SELECT right_id FROM dom{i})
+            )""")
+    final = "\n            UNION ALL ".join(
+        f"SELECT left_id, right_id, score FROM dom{i}"
+        for i in range(1, rounds + 1)
+    )
+    poison = f"""
+            UNION ALL
+            SELECT 'NOT_CONVERGED', 'NOT_CONVERGED', CAST(count(*) AS DOUBLE)
+            FROM rem{rounds} HAVING count(*) > 0"""
+    return head + "".join(steps) + "\n            " + final + poison
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    d = {
         "exact_dedup": r"""
             SELECT doc_id,
                    md5(lower(trim(text))) AS content_hash,
@@ -3750,6 +3948,120 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY left_id, right_id, weight
             HAVING sum(pass) >= 2
         """,
+        # der cell l2/der/TokenBlocking.java:43-50 dataset 0: Dirty purging,
+        # BF ratio 0.125, CBS weights (exact integer-valued doubles, so the
+        # WEP mean is order-independent), unilateral (orientation-blind)
+        # BlocksPerformance vs the exact-duplicate gold partition
+        "tuned_dirty_workflow": f"""
+            WITH {_TOKS}, {_BSTATS}, {_PURGE}, {_filter_sql(0.125)},
+            wt AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM filtered a
+              JOIN filtered b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            m AS (SELECT avg(weight) AS mw FROM wt),
+            cand AS (
+              SELECT DISTINCT least(left_id, right_id) AS left_id,
+                     greatest(left_id, right_id) AS right_id
+              FROM wt CROSS JOIN m WHERE weight >= mw
+            ),
+            nh AS (SELECT doc_id, md5(lower(trim(text))) AS h FROM documents),
+            gold AS (
+              SELECT least(a.doc_id, b.doc_id) AS left_id,
+                     greatest(a.doc_id, b.doc_id) AS right_id
+              FROM nh a JOIN nh b ON a.h = b.h AND a.doc_id < b.doc_id
+            ),
+            counts AS (
+              SELECT (SELECT count(*) FROM cand JOIN gold USING (left_id, right_id)) AS tp,
+                     (SELECT count(*) FROM cand) AS n_candidates,
+                     (SELECT count(*) FROM gold) AS n_gold
+            )
+            SELECT tp, n_candidates, n_gold,
+                   CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END AS pc,
+                   CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END AS pq,
+                   CASE WHEN (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END)
+                           + (CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END) > 0
+                        THEN 2 * (CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END)
+                               * (CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END)
+                             / ((CASE WHEN n_gold > 0 THEN tp / n_gold ELSE 0.0 END)
+                                + (CASE WHEN n_candidates > 0 THEN tp / n_candidates ELSE 0.0 END))
+                        ELSE 0.0 END AS f1
+            FROM counts
+        """,
+        # schema cell l1/schemaBased/TokenBlocking.java:32-41 dataset 0: P3
+        # title projection (first-6-words span, the lift's attribute), sides
+        # even/odd, no purging, BF 0.9 over clean-clean block stats
+        # (comparisons = n_a * n_b), CBS weights, RCNP with the derived
+        # per-node budget k = max(1, floor(BC/|E| + .5) - 1)
+        "tuned_schema_workflow": r"""
+            WITH tt AS (
+              SELECT doc_id,
+                     lower(trim(array_to_string((str_split(text, ' '))[1:6], ' '))) AS s
+              FROM documents
+            ),
+            -- ids as VARCHAR from here on: the docs lift carries string
+            -- doc_ids, so the engine's RCNP tie-break is LEXICOGRAPHIC
+            sbtoks AS (
+              SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id,
+                     doc_id % 2 = 0 AS is_a, tok FROM (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(s, '[\W_]+'),
+                                          t -> t <> '')) AS tok
+                FROM tt
+              )
+            ),
+            sbstats AS (
+              SELECT tok AS block_key,
+                     CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END)
+                          * sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS comp
+              FROM sbtoks GROUP BY tok
+            ),
+            sbranked AS (
+              SELECT t.doc_id, t.is_a, t.tok AS block_key,
+                     row_number() OVER (PARTITION BY t.doc_id
+                                        ORDER BY s.comp ASC, t.tok ASC) AS rk,
+                     count(*)     OVER (PARTITION BY t.doc_id) AS nb
+              FROM sbtoks t JOIN sbstats s ON s.block_key = t.tok
+            ),
+            sbf AS (
+              SELECT doc_id, is_a, block_key FROM sbranked
+              WHERE rk <= CAST(round(CAST(nb AS DOUBLE) * 0.9) AS INT)
+            ),
+            kval AS (
+              SELECT greatest(1, CAST(floor(
+                       CAST((SELECT count(*) FROM sbf) AS DOUBLE)
+                       / greatest((SELECT count(DISTINCT doc_id) FROM sbf), 1)
+                       + 0.5) AS BIGINT) - 1) AS k
+            ),
+            wt AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM sbf a
+              JOIN sbf b ON a.block_key = b.block_key AND a.is_a AND NOT b.is_a
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            ne AS (
+              SELECT left_id AS node, left_id, right_id, weight, right_id AS other
+              FROM wt
+              UNION ALL
+              SELECT right_id AS node, left_id, right_id, weight, left_id AS other
+              FROM wt
+            ),
+            flags AS (
+              SELECT left_id, right_id, weight,
+                     CASE WHEN row_number() OVER (PARTITION BY node
+                                                  ORDER BY weight DESC, other ASC)
+                               <= (SELECT k FROM kval)
+                          THEN 1 ELSE 0 END AS pass
+              FROM ne
+            )
+            SELECT left_id, right_id, weight
+            FROM flags
+            GROUP BY left_id, right_id, weight
+            HAVING sum(pass) >= 2
+        """,
         # N7 DeepBlocker stand-in: feature-hashing tuple embedding (exact
         # BIGINT coordinate sums over md5-derived token vectors — order
         # independent, so the GROUP BY replays Spark's shuffle agg exactly)
@@ -4354,3 +4666,8 @@ def oracle_sql() -> dict[str, str]:
             FROM gagr a CROSS JOIN wts w
         """,
     }
+    # the bucket-grid engine scores EXACTLY the clean_clean_er semantics —
+    # one oracle certifying a third physical engine (plans/bucketed.py)
+    d["bucketed_scoring"] = d["clean_clean_er"]
+    d["unique_mapping_pairs"] = _unique_mapping_sql()
+    return d

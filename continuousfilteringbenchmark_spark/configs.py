@@ -220,6 +220,253 @@ BLOCKING_TUNED: dict[tuple[str, str], dict[str, tuple]] = {
     },
 }
 
+# ------------------------------------------------------- dirty-ER (der/)
+# The reference re-tunes every blocking driver for its 4 real Dirty-ER
+# datasets (one entity collection, self-join blocks, Dirty block purging,
+# UnilateralDuplicatePropagation gold counting). Verbatim grid-id arrays
+# from ``blockingWorkflowsL1L2L3/src/{l1,l2,l3}/der/`` — dataset order
+# (``l1/der/TokenBlocking.java:29``): cddbProfiles, coraProfiles,
+# cddbtitle, coratitle. Every der driver tests ``0 <`` for BlockFiltering
+# (exclusive sentinel at all levels, unlike the clean-clean drivers'
+# non-uniform quirk) and constructs ``ComparisonsBasedBlockPurging(false)``.
+# ``None`` in mb = the driver skips comparison cleaning entirely for that
+# dataset (``l2/der/ExtendedQGramsBlocks.java:43-48``).
+
+DER_DATASETS = ("cddb", "cora", "cddbtitle", "coratitle")
+DER_DATASET_SOURCES = ("cddbProfiles", "coraProfiles", "cddbtitle", "coratitle")
+
+DER_BLOCKING_TUNED: dict[tuple[str, str], dict[str, tuple]] = {
+    # l1/der/TokenBlocking.java:43-50
+    ("token_blocking", "L1"): {
+        "bp": (-1, 1, 1, -1),
+        "bf": (3, 37, 29, 37),
+        "ws": (0, 2, 5, 6),
+        "mb": (_WEP, _BLAST, _CEP, _BLAST),
+    },
+    # l2/der/TokenBlocking.java:43-50
+    ("token_blocking", "L2"): {
+        "bp": (1, 1, 1, -1),
+        "bf": (4, 26, 33, -1),
+        "ws": (0, 6, 0, 6),
+        "mb": (_WEP, _WEP, _BLAST, _BLAST),
+    },
+    # l3/der/TokenBlocking.java:34-41
+    ("token_blocking", "L3"): {
+        "bp": (1, 1, -1, -1),
+        "bf": (7, 26, 36, 35),
+        "ws": (0, 0, 5, 5),
+        "mb": (_WEP, _WEP, _WNP, _WNP),
+    },
+    # l1/der/QGramsBlocks.java:44-52
+    ("qgrams_blocking", "L1"): {
+        "bb": (3, 0, 0, 2),
+        "bp": (-1, -1, 1, -1),
+        "bf": (1, 13, 36, 39),
+        "ws": (4, 5, 0, 5),
+        "mb": (_WEP, _CEP, _RCNP, _CEP),
+    },
+    # l2/der/QGramsBlocks.java:35-43
+    ("qgrams_blocking", "L2"): {
+        "bb": (4, 1, 1, 2),
+        "bp": (-1, -1, -1, -1),
+        "bf": (2, 25, 27, 27),
+        "ws": (6, 1, 6, 6),
+        "mb": (_WEP, _BLAST, _RCNP, _BLAST),
+    },
+    # l3/der/QGramsBlocks.java:45-52
+    ("qgrams_blocking", "L3"): {
+        "bb": (4, 1, 0, 0),
+        "bp": (-1, -1, -1, -1),
+        "bf": (4, 27, 37, 21),
+        "ws": (6, 1, 5, 6),
+        "mb": (_WEP, _RCNP, _WEP, _WNP),
+    },
+    # l1/der/SuffixArrays.java:40-46
+    ("suffix_arrays_blocking", "L1"): {
+        "bb": (349, 450, 282, 369),
+        "ws": (7, 3, 10, 5),
+        "mb": (_BLAST, _BLAST, _BLAST, _WEP),
+    },
+    # l2/der/SuffixArrays.java:32-38
+    ("suffix_arrays_blocking", "L2"): {
+        "bb": (39, 345, 427, 491),
+        "ws": (6, 6, 8, 6),
+        "mb": (_BLAST, _WEP, _WEP, _BLAST),
+    },
+    # l3/der/SuffixArrays.java:32-38
+    ("suffix_arrays_blocking", "L3"): {
+        "bb": (59, 485, 425, 490),
+        "ws": (6, 6, 5, 1),
+        "mb": (_BLAST, _WEP, _WEP, _WEP),
+    },
+    # l1/der/ExtendedQGramsBlocks.java:35-48
+    ("extended_qgrams_blocking", "L1"): {
+        "bb": (11, 14, 14, 12),
+        "bp": (1, -1, -1, -1),
+        "bf": (1, 21, 38, 26),
+        "ws": (6, 1, 1, 5),
+        "mb": (_WEP, _BLAST, _RCNP, _CEP),
+    },
+    # l2/der/ExtendedQGramsBlocks.java:39-48 (third cell: cleaning skipped)
+    ("extended_qgrams_blocking", "L2"): {
+        "bb": (10, 11, 8, 11),
+        "bp": (1, 1, -1, -1),
+        "bf": (3, 19, 21, 37),
+        "ws": (6, 5, 1, 6),
+        "mb": (_WEP, _CEP, None, _BLAST),
+    },
+    # l3/der/ExtendedQGramsBlocks.java:39-47
+    ("extended_qgrams_blocking", "L3"): {
+        "bb": (8, 11, 0, 0),
+        "bp": (-1, -1, 1, -1),
+        "bf": (4, 30, 38, 39),
+        "ws": (6, 11, 1, 1),
+        "mb": (_WEP, _CEP, _WEP, _CNP),
+    },
+    # l1/der/ExtendedSuffixArrays.java:40-46
+    ("extended_suffix_arrays_blocking", "L1"): {
+        "bb": (168, 486, 227, 495),
+        "ws": (7, 2, 10, 14),
+        "mb": (_BLAST, _BLAST, _BLAST, _BLAST),
+    },
+    # l2/der/ExtendedSuffixArrays.java:40-46
+    ("extended_suffix_arrays_blocking", "L2"): {
+        "bb": (39, 330, 428, 473),
+        "ws": (6, 6, 12, 5),
+        "mb": (_BLAST, _WEP, _CEP, _WEP),
+    },
+    # l3/der/ExtendedSuffixArrays.java:40-46
+    ("extended_suffix_arrays_blocking", "L3"): {
+        "bb": (73, 448, 452, 496),
+        "ws": (6, 6, 12, 12),
+        "mb": (_BLAST, _RCNP, _WNP, _CNP),
+    },
+}
+
+# -------------------------------------------------- schema-based blocking
+# ``blockingWorkflowsL1L2L3/src/{l1,l2,l3}/schemaBased/``: profiles are
+# pre-reduced to ONE attribute (P3 reduceProfilesToAttribute — the drivers
+# read ``<dataset>_<attribute>`` files, ``l1/schemaBased/TokenBlocking.java:
+# 27-29,44``) over 6 of the 10 clean-clean pairs; BilateralDuplicate-
+# Propagation, ``ComparisonsBasedBlockPurging(true)``. BF sentinel quirk:
+# the schemaBased QGramsBlocks and ExtendedQGramsBlocks quality passes test
+# ``0 <=`` at every level (grid id 0 applies at ratio 0.025,
+# ``l1/schemaBased/QGramsBlocks.java:75``), TokenBlocking tests ``0 <``;
+# suffix drivers run no BlockFiltering.
+
+SCHEMA_DATASETS = ("D1", "D2", "D3", "D4", "D8", "D9")
+SCHEMA_ATTRIBUTES = ("Name", "Name", "Title", "Title", "Title", "Title")
+
+_SCHEMA_BF_GRID0_APPLIES = {"qgrams_blocking", "extended_qgrams_blocking"}
+
+SCHEMA_BLOCKING_TUNED: dict[tuple[str, str], dict[str, tuple]] = {
+    # l1/schemaBased/TokenBlocking.java:32-41
+    ("token_blocking", "L1"): {
+        "bp": (-1, -1, -1, -1, 1, -1),
+        "bf": (35, 21, 24, 8, -1, 14),
+        "ws": (0, 14, 12, 6, 6, 0),
+        "mb": (_RCNP, _BLAST, _RCNP, _RCNP, _RCNP, _RCNP),
+    },
+    # l2/schemaBased/TokenBlocking.java:32-40
+    ("token_blocking", "L2"): {
+        "bp": (-1, -1, -1, -1, -1, -1),
+        "bf": (35, 31, 37, 9, 25, 20),
+        "ws": (0, 13, 14, 3, 6, 0),
+        "mb": (_RCNP, _BLAST, _BLAST, _RWNP, _BLAST, _RCNP),
+    },
+    # l3/schemaBased/TokenBlocking.java:32-40
+    ("token_blocking", "L3"): {
+        "bp": (-1, -1, -1, -1, 1, -1),
+        "bf": (35, 36, -1, 9, 37, 23),
+        "ws": (11, 5, 13, 3, 5, 6),
+        "mb": (_RCNP, _BLAST, _BLAST, _RWNP, _BLAST, _RCNP),
+    },
+    # l1/schemaBased/QGramsBlocks.java:32-41
+    ("qgrams_blocking", "L1"): {
+        "bb": (4, 2, 3, 4, 4, 4),
+        "bp": (-1, 1, 1, -1, -1, -1),
+        "bf": (37, 24, 24, 3, 24, 9),
+        "ws": (0, 10, 14, 3, 7, 4),
+        "mb": (_RCNP, _WEP, _BLAST, _RCNP, _RCNP, _RCNP),
+    },
+    # l2/schemaBased/QGramsBlocks.java:32-41
+    ("qgrams_blocking", "L2"): {
+        "bb": (4, 2, 1, 4, 1, 4),
+        "bp": (-1, 1, -1, -1, 1, -1),
+        "bf": (37, 35, 18, 3, 26, 12),
+        "ws": (0, 10, 6, 5, 6, 3),
+        "mb": (_RCNP, _BLAST, _BLAST, _WEP, _RCNP, _RCNP),
+    },
+    # l3/schemaBased/QGramsBlocks.java:32-41
+    ("qgrams_blocking", "L3"): {
+        "bb": (2, 2, 1, 4, 1, 1),
+        "bp": (-1, -1, -1, -1, -1, -1),
+        "bf": (32, 18, 30, 3, 36, 21),
+        "ws": (3, 8, 6, 5, 6, 6),
+        "mb": (_RCNP, _BLAST, _BLAST, _WEP, _BLAST, _BLAST),
+    },
+    # l1/schemaBased/SuffixArrays.java:30-37
+    ("suffix_arrays_blocking", "L1"): {
+        "bb": (49, 91, 240, 480, 494, 497),
+        "ws": (0, 14, 10, 6, 13, 14),
+        "mb": (_RCNP, _BLAST, _BLAST, _BLAST, _BLAST, _BLAST),
+    },
+    # l2/schemaBased/SuffixArrays.java:30-37
+    ("suffix_arrays_blocking", "L2"): {
+        "bb": (49, 170, 340, 480, 474, 499),
+        "ws": (0, 14, 14, 6, 12, 0),
+        "mb": (_RCNP, _BLAST, _BLAST, _BLAST, _WEP, _WNP),
+    },
+    # l3/schemaBased/SuffixArrays.java:30-37
+    ("suffix_arrays_blocking", "L3"): {
+        "bb": (99, 290, 480, 480, 496, 499),
+        "ws": (14, 5, 5, 6, 1, 0),
+        "mb": (_RCNP, _BLAST, _BLAST, _BLAST, _CNP, _WNP),
+    },
+    # l1/schemaBased/ExtendedQGramsBlocks.java:32-41
+    ("extended_qgrams_blocking", "L1"): {
+        "bb": (5, 0, 8, 9, 14, 14),
+        "bp": (-1, -1, 1, -1, -1, -1),
+        "bf": (38, 5, 21, 1, 22, 12),
+        "ws": (0, 10, 14, 5, 7, 3),
+        "mb": (_RCNP, _BLAST, _BLAST, _WEP, _RCNP, _RCNP),
+    },
+    # l2/schemaBased/ExtendedQGramsBlocks.java:32-41
+    ("extended_qgrams_blocking", "L2"): {
+        "bb": (5, 0, 5, 9, 14, 14),
+        "bp": (-1, -1, -1, -1, -1, -1),
+        "bf": (38, 9, 36, 1, 39, 15),
+        "ws": (0, 10, 14, 5, 11, 14),
+        "mb": (_RCNP, _WNP, _BLAST, _WEP, _RCNP, _RCNP),
+    },
+    # l3/schemaBased/ExtendedQGramsBlocks.java:32-41
+    ("extended_qgrams_blocking", "L3"): {
+        "bb": (2, 0, 5, 1, 5, 14),
+        "bp": (-1, -1, -1, -1, -1, -1),
+        "bf": (31, 25, 30, 0, 35, 28),
+        "ws": (0, 8, 12, 5, 5, 0),
+        "mb": (_RCNP, _WEP, _BLAST, _RWNP, _BLAST, _RCNP),
+    },
+    # l1/schemaBased/ExtendedSuffixArrays.java:30-37
+    ("extended_suffix_arrays_blocking", "L1"): {
+        "bb": (54, 21, 217, 68, 477, 499),
+        "ws": (0, 10, 10, 10, 12, 12),
+        "mb": (_RCNP, _BLAST, _BLAST, _BLAST, _RCNP, _BLAST),
+    },
+    # l2/schemaBased/ExtendedSuffixArrays.java:30-37
+    ("extended_suffix_arrays_blocking", "L2"): {
+        "bb": (54, 41, 301, 102, 454, 499),
+        "ws": (0, 10, 8, 10, 7, 1),
+        "mb": (_RCNP, _BLAST, _BLAST, _BLAST, _WNP, _CEP),
+    },
+    # l3/schemaBased/ExtendedSuffixArrays.java:30-37
+    ("extended_suffix_arrays_blocking", "L3"): {
+        "bb": (99, 160, 352, 496, 496, 499),
+        "ws": (14, 8, 10, 10, 1, 1),
+        "mb": (_RCNP, _BLAST, _WEP, _BLAST, _CNP, _CEP),
+    },
+}
+
 # ------------------------------------------------------------------- joins
 # SchemaAgnosticEJoin.java:31-41 / TopKSchemaAgnosticJoin.java:28-47 /
 # SchemaBasedEJoin.java:31-40 / TopKSchemaBasedJoin.java:28-45.
@@ -340,7 +587,14 @@ def tokenizer_column(name: str, col):
 
 @dataclass(frozen=True)
 class ReferenceBlockingConfig:
-    """Decoded engine parameters for one (method, level, dataset) cell."""
+    """Decoded engine parameters for one (method, level, dataset) cell.
+
+    ``gold_counting``: the driver family's DuplicatePropagation semantics —
+    ``"bilateral"`` (clean-clean: a gold pair counts in its one (d1, d2)
+    orientation) or ``"unilateral"`` (Dirty: one id universe, a gold pair
+    counts when found in EITHER order). ``attribute`` is set only by the
+    schema-based cells (P3 projection target). ``mb_algorithm`` is ``None``
+    when the driver skips comparison cleaning for the cell."""
 
     dataset: str
     level: str
@@ -348,23 +602,27 @@ class ReferenceBlockingConfig:
     block_purging: bool
     bf_ratio: float | None          # None = BlockFiltering skipped
     weight_scheme: str              # engine weighting-scheme name
-    mb_algorithm: str               # reference ComparisonCleaningMethod name
+    mb_algorithm: str | None        # reference ComparisonCleaningMethod name
     qgram: int | None = None        # q for (extended) q-grams methods
     min_suffix_length: int | None = None
     max_suffix_frequency: int | None = None
     combination_threshold: float | None = None  # extended q-grams
+    attribute: str | None = None    # schema-based cells only
+    gold_counting: str = "bilateral"
 
 
-def from_reference(method: str, level: str, dataset: str) -> ReferenceBlockingConfig:
-    """Decode the tuned operating point of (method, level, dataset).
-
-    ``method``: token_blocking | qgrams_blocking | suffix_arrays_blocking |
-    extended_qgrams_blocking | extended_suffix_arrays_blocking;
-    ``level``: L1 | L2 | L3 (the paper's three recall targets);
-    ``dataset``: D1..D10.
-    """
-    grids = BLOCKING_TUNED[(method, level)]
-    d = DATASETS.index(dataset)
+def _decode_cell(
+    grids: dict[str, tuple],
+    d: int,
+    method: str,
+    level: str,
+    dataset: str,
+    bf_grid0_applies: bool,
+    **extra,
+) -> ReferenceBlockingConfig:
+    """Shared grid-id decode for the clean-clean, der and schema-based
+    driver families — the families differ only in their verbatim arrays,
+    their BF-grid-0 sentinel quirk and their gold-counting semantics."""
     kwargs: dict = {}
     if method in ("qgrams_blocking",):
         kwargs["qgram"] = qgrams_q_from_grid(grids["bb"][d])
@@ -377,7 +635,7 @@ def from_reference(method: str, level: str, dataset: str) -> ReferenceBlockingCo
     bf = grids.get("bf")
     bf_ratio = None
     if bf is not None:
-        cutoff = 0 if (method, level) in _BF_GRID0_APPLIES else 1
+        cutoff = 0 if bf_grid0_applies else 1
         if bf[d] >= cutoff:
             bf_ratio = bf_ratio_from_grid(bf[d])
     bp = grids.get("bp")
@@ -390,6 +648,60 @@ def from_reference(method: str, level: str, dataset: str) -> ReferenceBlockingCo
         weight_scheme=weight_scheme_from_grid(grids["ws"][d]),
         mb_algorithm=grids["mb"][d],
         **kwargs,
+        **extra,
+    )
+
+
+def from_reference(method: str, level: str, dataset: str) -> ReferenceBlockingConfig:
+    """Decode the tuned operating point of (method, level, dataset).
+
+    ``method``: token_blocking | qgrams_blocking | suffix_arrays_blocking |
+    extended_qgrams_blocking | extended_suffix_arrays_blocking;
+    ``level``: L1 | L2 | L3 (the paper's three recall targets);
+    ``dataset``: D1..D10.
+    """
+    return _decode_cell(
+        BLOCKING_TUNED[(method, level)],
+        DATASETS.index(dataset),
+        method,
+        level,
+        dataset,
+        bf_grid0_applies=(method, level) in _BF_GRID0_APPLIES,
+    )
+
+
+def from_reference_der(method: str, level: str, dataset: str) -> ReferenceBlockingConfig:
+    """Decode one Dirty-ER (der) tuned cell. ``dataset``: cddb | cora |
+    cddbtitle | coratitle. Dirty semantics ride in the config: Dirty block
+    purging/filtering (``clean_clean=False`` throughout) and
+    ``gold_counting='unilateral'`` for the BlocksPerformance pass
+    (``l1/der/TokenBlocking.java:60``)."""
+    return _decode_cell(
+        DER_BLOCKING_TUNED[(method, level)],
+        DER_DATASETS.index(dataset),
+        method,
+        level,
+        dataset,
+        bf_grid0_applies=False,  # every der driver tests `0 <`
+        gold_counting="unilateral",
+    )
+
+
+def from_reference_schema(
+    method: str, level: str, dataset: str
+) -> ReferenceBlockingConfig:
+    """Decode one schema-based blocking tuned cell. ``dataset``: D1, D2,
+    D3, D4, D8 or D9 (the 6 published pairs); the returned config carries
+    the P3 projection ``attribute`` the driver's input files are reduced to
+    (``l1/schemaBased/TokenBlocking.java:27,44``)."""
+    return _decode_cell(
+        SCHEMA_BLOCKING_TUNED[(method, level)],
+        SCHEMA_DATASETS.index(dataset),
+        method,
+        level,
+        dataset,
+        bf_grid0_applies=method in _SCHEMA_BF_GRID0_APPLIES,
+        attribute=SCHEMA_ATTRIBUTES[SCHEMA_DATASETS.index(dataset)],
     )
 
 
@@ -454,8 +766,13 @@ def build_blocks_from_reference(
 def candidate_pairs_from_reference(blocks, cfg: ReferenceBlockingConfig, clean_clean: bool):
     """The operating point's candidate generation: weight the block pairs
     with the decoded scheme, prune with the decoded comparison-cleaning
-    algorithm. Output: (left_id, right_id[, weight])."""
+    algorithm. Output: (left_id, right_id[, weight]). A ``None``
+    mb_algorithm (the der cells where the driver skips cleaning) yields
+    plain comparison propagation — every distinct block pair."""
+    from .operators import blocking as B
     from .operators import metablocking as MB
 
+    if cfg.mb_algorithm is None:
+        return B.pairs_from_blocks(blocks, clean_clean)
     weighted = MB.weighted_pairs(blocks, cfg.weight_scheme, clean_clean=clean_clean)
     return prune(weighted, cfg, blocks=blocks)

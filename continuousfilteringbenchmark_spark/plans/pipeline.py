@@ -329,6 +329,7 @@ def score_pairs(
     broadcast_rows: int | None = 1_000_000,
     engine: str = "auto",
     min_score: float | None = None,
+    bucket_path: str | None = None,
 ) -> DataFrame:
     """Score candidate (left_id, right_id) pairs with exact set similarity.
 
@@ -343,11 +344,20 @@ def score_pairs(
       12.5M pairs / local[32] even before the min_score prefilter; requires
       the token table under ``broadcast_rows``.
     * ``"jvm"`` — join the token arrays onto the pairs and
-      ``size(array_intersect(...))``. The generic path at any scale: beyond
-      the broadcast cap it is two shuffle joins, which production co-locates
-      via doc_id bucketing. Under the cap the token tables are broadcast so
-      the (pairs x wide-array) intermediate never crosses executors.
-    * ``"auto"`` — arrow under the cap, jvm beyond it.
+      ``size(array_intersect(...))``. The generic pure-DataFrame path:
+      beyond the broadcast cap it is two shuffle joins whose intermediate
+      carries one token-array copy PER PAIR — measured 83 GB shuffle at 1M
+      entities (BENCH/NOTES.md), which is why the over-cap default is the
+      bucketed engine, not this.
+    * ``"bucketed"`` — the scale path past the broadcast cap
+      (``plans.bucketed.score_pairs_bucketed``): pairs shuffle by bucket-
+      grid cell as bare id rows and each cell task reads its two token
+      buckets side-band from the ``write_token_buckets`` store — no token
+      bytes in any shuffle, no driver collect, no size caps. Requires
+      ``bucket_path``.
+    * ``"auto"`` — arrow under the cap; beyond it, bucketed when
+      ``bucket_path`` is given (the production layout always has the
+      stage-store bucket table), else jvm.
 
     ``min_score``: when set, only pairs with score >= min_score are
     returned, and an exact size-bound prefilter (score at c = min(|A|,|B|)
@@ -379,8 +389,16 @@ def score_pairs(
     busts the bitset caps, the jvm plan is used — never the sort kernel,
     which loses to the jvm join at exactly those sizes.
     """
-    if engine not in ("auto", "jvm", "arrow"):
-        raise ValueError(f"unknown engine {engine!r} (one of auto/jvm/arrow)")
+    if engine not in ("auto", "jvm", "arrow", "bucketed"):
+        raise ValueError(
+            f"unknown engine {engine!r} (one of auto/jvm/arrow/bucketed)"
+        )
+    if engine == "bucketed":
+        if bucket_path is None:
+            raise ValueError("engine='bucketed' requires bucket_path")
+        from .bucketed import score_pairs_bucketed
+
+        return score_pairs_bucketed(pairs, bucket_path, sim, min_score=min_score)
     hashed = tokened.select("doc_id", tk.hash_token_set(F.col("tokens")).alias("_h"))
 
     hint_broadcast = False
@@ -414,6 +432,20 @@ def score_pairs(
                     hint_broadcast = False
                 elif out is not None:
                     return out
+        if not hint_broadcast and bucket_path is not None:
+            # over the broadcast cap (or cap disabled) with a bucket store
+            # available: the bucketed engine is the scale default — the jvm
+            # two-shuffle join would move a token array per pair. Guarded on
+            # string ids so auto can never silently change output types
+            # (the bucketed engine emits string ids by contract).
+            from pyspark.sql.types import StringType
+
+            if isinstance(pairs.schema["left_id"].dataType, StringType):
+                from .bucketed import score_pairs_bucketed
+
+                return score_pairs_bucketed(
+                    pairs, bucket_path, sim, min_score=min_score
+                )
     if engine == "arrow":
         return _score_pairs_arrow(
             pairs, hashed, sim, min_score, allow_sort=True,

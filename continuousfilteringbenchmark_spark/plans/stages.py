@@ -87,6 +87,23 @@ class StageStore:
         self._append_metrics(stage, path, int((time.time() - t0) * 1000))
         return self.spark.read.parquet(path)
 
+    def run_token_bucket_stage(
+        self, tokened: DataFrame, n_buckets: int = 32, stage: str = "token_buckets"
+    ) -> str:
+        """Commit the write-time bucketed hashed-token layout
+        (``plans.bucketed.write_token_buckets``) as a resumable stage and
+        return its path. This is the production co-location contract: the
+        scoring stage reads token payloads straight from these buckets, so
+        no shuffle ever carries a token array regardless of corpus size."""
+        path = self._path(stage)
+        if not self.is_committed(stage):
+            from .bucketed import write_token_buckets
+
+            t0 = time.time()
+            write_token_buckets(tokened, path, n_buckets)
+            self._append_metrics(stage, path, int((time.time() - t0) * 1000))
+        return path
+
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.root, self.run_id, "_metrics"))
 
@@ -97,6 +114,7 @@ def materialized_er_pipeline(
     cfg=None,
     clean_clean: bool = True,
     reference_config=None,
+    n_buckets: int = 32,
 ) -> dict[str, DataFrame]:
     """The M1 pipeline with every stage committed + resumable.
 
@@ -143,9 +161,20 @@ def materialized_er_pipeline(
                 salt_threshold=getattr(cfg, "salt_threshold", None),
             ),
         )
+    # write-time doc_id bucketing: committed alongside the token stage so
+    # the scoring stage can co-locate past the broadcast cap (score_pairs
+    # auto flips to the bucketed engine exactly when the dictionary probe
+    # proves the corpus over-cap — under it the arrow engine still wins)
+    bucket_path = store.run_token_bucket_stage(tokened, n_buckets=n_buckets)
     matches = store.run_stage(
         "matches",
-        lambda: score_pairs(pairs, tokened, cfg.sim, min_score=cfg.threshold),
+        lambda: score_pairs(
+            pairs,
+            tokened,
+            cfg.sim,
+            min_score=cfg.threshold,
+            bucket_path=bucket_path,
+        ),
     )
     clusters = store.run_stage(
         "clusters",

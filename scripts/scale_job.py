@@ -123,13 +123,40 @@ def main() -> None:
     counts["candidate_pairs"] = pairs.count()
     timings["candidate_pairs"] = round(time.perf_counter() - t0, 3)
 
+    engine = os.environ.get("SPARK_GRAFT_SCORE_ENGINE", "auto")
+    bucket_path = None
+    if engine in ("bucketed", "auto"):
+        # write-time doc_id bucketing (production stage-table layout):
+        # sized so a bucket holds ~30k docs; on disk, not tmpfs — bucket
+        # files are the co-location substrate the cell tasks re-read
+        import math
+        import shutil
+
+        n_buckets = int(os.environ.get("SPARK_GRAFT_BUCKETS", "0")) or max(
+            8, 2 ** math.ceil(math.log2(max(n_docs / 30000, 1)))
+        )
+        bucket_path = os.path.join(
+            os.environ.get("SPARK_GRAFT_BUCKET_DIR", "/root/spark-buckets"),
+            f"tokens_{n_docs}_{n_buckets}",
+        )
+        t0 = time.perf_counter()
+        from continuousfilteringbenchmark_spark.plans.bucketed import (
+            write_token_buckets,
+        )
+
+        if not os.path.exists(os.path.join(bucket_path, "_SUCCESS")):
+            shutil.rmtree(bucket_path, ignore_errors=True)
+            write_token_buckets(tokened, bucket_path, n_buckets)
+        timings["bucketize"] = round(time.perf_counter() - t0, 3)
+
     matches = (
         score_pairs(
             pairs,
             tokened,
             "jaccard",
             min_score=0.5,
-            engine=os.environ.get("SPARK_GRAFT_SCORE_ENGINE", "auto"),
+            engine=engine,
+            bucket_path=bucket_path,
         )
         .select("left_id", "right_id")
         .persist()

@@ -96,3 +96,80 @@ def test_max_iter_raises(spark):
         pairs.append((f"a{i + 1}", f"b{i}", 99.0 - 2 * i))
     with pytest.raises(RuntimeError, match="converge"):
         unique_mapping_pairs(_df(spark, pairs), max_iter=2)
+
+
+def test_unrolled_oracle_budget_and_poison():
+    """The driver oracle for unique_mapping_pairs is a FIXED unroll
+    (__spark_entry__._unique_mapping_sql); exactness holds iff the fixture
+    drains within the budget. Pin both halves: (a) the sf0.01 fixture's
+    greedy converges with >= 8 rounds of headroom under the shipped
+    budget, (b) an under-budgeted unroll surfaces the NOT_CONVERGED poison
+    row on a descending chain instead of silently truncating."""
+    import inspect
+    import os
+    import re
+
+    import duckdb
+    import pytest
+
+    import __spark_entry__ as E
+
+    budget = inspect.signature(E._unique_mapping_sql).parameters["rounds"].default
+
+    sf = "/root/testdata/sf0.01"
+    if os.path.isdir(sf):  # ADVICE r4: skip (not error) without the fixture
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')"
+        )
+        sql = E._unique_mapping_sql(1)
+        cte = sql[: sql.index("SELECT left_id, right_id, score FROM dom1\n")].rstrip()
+        rem = con.execute(cte + "\nSELECT left_id, right_id, score FROM rem0").fetchall()
+        rounds = 0
+        while rem:
+            rounds += 1
+            best = {}
+            for l, r, s in rem:
+                k = (-s, l, r)
+                if l not in best or k < best[l]:
+                    best[l] = k
+                if ("r", r) not in best or k < best[("r", r)]:
+                    best[("r", r)] = k
+            dom = [
+                (l, r, s)
+                for l, r, s in rem
+                if best[l] == (-s, l, r) == best[("r", r)]
+            ]
+            ml = {l for l, _, _ in dom}
+            mr = {r for _, r, _ in dom}
+            rem = [(l, r, s) for l, r, s in rem if l not in ml and r not in mr]
+        assert rounds + 8 <= budget, (
+            f"fixture needs {rounds} rounds; oracle budget {budget} leaves "
+            "<8 rounds of headroom — raise _unique_mapping_sql's default"
+        )
+    else:
+        pytest.skip("sf0.01 fixture absent")
+
+    # poison half: a strictly-descending chain accepts ONE pair per round,
+    # so 3 unrolled rounds over a 6-pair chain cannot drain -> poison row
+    con = duckdb.connect()
+    rows = []
+    for i in range(6):
+        rows.append(f"({i}, 'a{i}', 'b{i}', {100.0 - 2 * i})")
+        rows.append(f"({i}, 'a{i + 1}', 'b{i}', {99.0 - 2 * i})")
+    con.execute(
+        "CREATE TABLE documents (doc_id INT, text VARCHAR, lang VARCHAR)"
+    )  # unused by the probe below
+    sql3 = E._unique_mapping_sql(3)
+    # swap the corpus-derived rem0 for the synthetic chain
+    head = sql3[: sql3.index("WITH ")] + "WITH rem0 AS MATERIALIZED (SELECT * FROM (VALUES "
+    chain = ", ".join(
+        f"('a{i}', 'b{i}', CAST({100.0 - 2 * i} AS DOUBLE)), "
+        f"('a{i + 1}', 'b{i}', CAST({99.0 - 2 * i} AS DOUBLE))"
+        for i in range(6)
+    )
+    tail = sql3[sql3.index(",\n            rk1 AS") :]
+    probe = head + chain + ") t(left_id, right_id, score))" + tail
+    out = con.execute(probe).fetchall()
+    assert ("NOT_CONVERGED", "NOT_CONVERGED") in {(r[0], r[1]) for r in out}

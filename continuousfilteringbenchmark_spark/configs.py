@@ -776,3 +776,75 @@ def candidate_pairs_from_reference(blocks, cfg: ReferenceBlockingConfig, clean_c
         return B.pairs_from_blocks(blocks, clean_clean)
     weighted = MB.weighted_pairs(blocks, cfg.weight_scheme, clean_clean=clean_clean)
     return prune(weighted, cfg, blocks=blocks)
+
+
+# -------------------------------------------------- derived NN operating points
+# The N8 tuner (tuning.py) derives these IN-ENGINE the way the reference's
+# ``findNN`` derives its #neighbors/#probes (``nnmethods/faiss/D4sa.py:
+# 174-209``); the record below is the persisted handshake between a tuning
+# run (scripts/tune_nn.py) and a replay — config as data, exactly like the
+# verbatim grid registries above, but produced by the engine itself.
+
+
+@dataclass(frozen=True)
+class TunedNNPoint:
+    """One tuner-derived NN operating point.
+
+    ``method``: ``range_search_lsh`` (param = lsh_probes) or ``knn_ivf``
+    (param = nprobe). ``fixed`` holds the frozen axes the search did not
+    move (tables/bits/threshold or k/cells/seed/quantizer), so a replay is
+    fully determined by this record alone."""
+
+    method: str
+    param: str
+    value: int
+    target_recall: float
+    achieved_recall: float
+    fixed: dict
+
+
+def save_tuned_nn(point: TunedNNPoint, path: str) -> None:
+    import dataclasses
+    import json
+
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(point), f, indent=2, sort_keys=True)
+
+
+def load_tuned_nn(path: str) -> TunedNNPoint:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return TunedNNPoint(**d)
+
+
+def apply_tuned_nn(point: TunedNNPoint, vecs, id_col: str = "vec_id"):
+    """Replay a tuner-derived operating point in-engine: build the exact
+    candidate DataFrame the tuning run certified (same frozen axes, the
+    tuned knob at its derived value)."""
+    from .operators import dense as D
+
+    if point.method == "range_search_lsh":
+        return D.range_search(
+            vecs,
+            None,
+            threshold=point.fixed["threshold"],
+            id_col=id_col,
+            method="lsh",
+            lsh_tables=point.fixed["lsh_tables"],
+            lsh_bits=point.fixed["lsh_bits"],
+            lsh_probes=point.value,
+        )
+    if point.method == "knn_ivf":
+        return D.knn_ivf(
+            vecs,
+            vecs,
+            k=point.fixed["k"],
+            n_cells=point.fixed["n_cells"],
+            nprobe=point.value,
+            seed=point.fixed.get("seed", 42),
+            quantizer=point.fixed.get("quantizer", "sample"),
+            id_col=id_col,
+        )
+    raise ValueError(f"unknown tuned-NN method {point.method!r}")

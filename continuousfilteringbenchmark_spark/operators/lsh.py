@@ -354,6 +354,15 @@ def crosspolytope_bands(
     Output: (doc_id, band int, bucket long) — or with ``rank int`` (0 =
     base, j >= 1 = j-th probe) when ``n_probes > 0``; a probe pass CONTAINS
     the base rows, so consumers filter ``rank = 0`` for the indexed side.
+
+    Cross-engine rounding assumption (documented, not load-bearing): the
+    vertex/margin ranking rounds to 9 decimals with numpy ``np.round``
+    (half-to-EVEN) while the DuckDB oracle's ``round()`` is half-AWAY —
+    the two differ only when a projection magnitude lands on an exact .5
+    at the 9th decimal, a measure-zero event for md5-derived float sums
+    (and one that would merely reorder two probes, not corrupt a bucket).
+    An integer-exact tie key would close even that gap; kept as-is because
+    the rounding itself exists only to ABSORB float noise in the ranking.
     """
     if dim is None:
         dim = len(vecs.select(vec_col).first()[0])

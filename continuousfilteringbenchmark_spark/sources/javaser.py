@@ -34,6 +34,7 @@ names arrive as ``TC_REFERENCE`` back-refs and stay interned.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass, field
 from typing import Any, Callable, Iterator
@@ -179,6 +180,14 @@ class JavaDeserializer:
         if tc in (TC_CLASSDESC, TC_PROXYCLASSDESC):
             self._p -= 1
             return self._read_class_desc()
+        if tc == TC_RESET:
+            # ObjectOutputStream.reset() invalidates every back-reference
+            # handle; none of the JedAI writers emit it, and honoring it
+            # would require rebuilding the handle table mid-stream.
+            raise ValueError(
+                f"TC_RESET at offset {self._p - 1}: stream handle resets "
+                "are not supported by this decoder"
+            )
         raise ValueError(f"unsupported typecode {tc:#x} at offset {self._p - 1}")
 
     def _read_class_desc(self) -> JavaClassDesc | None:
@@ -247,7 +256,19 @@ class JavaDeserializer:
             d = d.parent
         for d in reversed(chain):
             if d.flags & SC_SERIALIZABLE:
-                obj.fields.update(self._read_field_values(d))
+                vals = self._read_field_values(d)
+                # Field values are keyed by NAME across the whole class
+                # chain; a subclass shadowing a same-named superclass field
+                # would silently overwrite it (fine for the JedAI classes,
+                # a trap for a generic decoder) — fail loudly instead.
+                dup = set(vals) & set(obj.fields)
+                if dup:
+                    raise ValueError(
+                        f"duplicate field name(s) {sorted(dup)} across the "
+                        f"class chain of {desc.name!r} — per-class field "
+                        "keying is not implemented"
+                    )
+                obj.fields.update(vals)
                 if d.flags & SC_WRITE_METHOD:
                     obj.annotations.extend(self._read_annotation_items())
             elif d.flags & SC_EXTERNALIZABLE:
@@ -383,13 +404,30 @@ def _to_batch(rows, schema):
     )
 
 
-def read_entity_profiles(spark, path: str, staging_path: str | None = None):
+def read_entity_profiles(
+    spark, path: str, staging_path: str | None = None, overwrite: bool = False
+):
     """S1 as a Spark source: convert the serialized stream once (see the
     module scale note), then hand back a distributed parquet-backed
-    DataFrame. ``staging_path`` defaults to ``<path>.parquet``."""
-    staging = staging_path or f"{path}.parquet"
-    profiles_to_parquet(path, staging)
-    return spark.read.parquet(staging)
+    DataFrame.
+
+    The staged parquet is REUSED when it already exists (pass
+    ``overwrite=True`` to force reconversion) — repeated reads must not
+    re-pay the driver-side stream parse. ``staging_path`` defaults to a
+    deterministic per-source file under the system temp dir, NOT next to
+    the source: dataset directories are commonly read-only."""
+    import hashlib
+    import tempfile
+
+    if staging_path is None:
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:12]
+        staging_path = os.path.join(
+            tempfile.gettempdir(),
+            f"javaser_{os.path.basename(path)}_{digest}.parquet",
+        )
+    if overwrite or not os.path.exists(staging_path):
+        profiles_to_parquet(path, staging_path)
+    return spark.read.parquet(staging_path)
 
 
 def read_gt_duplicates(spark, path: str):

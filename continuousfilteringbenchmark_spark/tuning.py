@@ -102,3 +102,46 @@ def tune_range_search_probes(
         return pc_of_pairs(cand, gold)
 
     return find_min_param(evaluate, target_pc, lo=0, hi=lsh_bits)
+
+
+def tune_ivf_nprobe(
+    vecs,
+    target_recall: float,
+    k: int = 5,
+    n_cells: int = 16,
+    seed: int = 42,
+    quantizer: str = "sample",
+    id_col: str = "vec_id",
+) -> tuple[int, float]:
+    """The reference's ``findNN`` protocol on the IVF probe axis: smallest
+    ``nprobe`` in [1, n_cells] whose recall@k against the exact cosine
+    top-k reaches ``target_recall`` (``nnmethods/faiss/D4sa.py:174-209``
+    walks #neighbors the same expanding way; probes are IVF's equivalent
+    knob). Recall is measured pairwise: candidate (query, neighbor) pairs
+    vs the exact top-k pair set."""
+    from pyspark.sql import functions as F
+
+    from .operators.dense import knn_exact, knn_ivf
+
+    gold = (
+        knn_exact(vecs, vecs, k=k, id_col=id_col)
+        .select(
+            F.col("query_id").alias("left_id"), F.col("corpus_id").alias("right_id")
+        )
+        .persist()
+    )
+    gold.count()
+
+    def evaluate(p: int) -> float:
+        cand = knn_ivf(
+            vecs, vecs, k=k, n_cells=n_cells, nprobe=min(p, n_cells),
+            seed=seed, quantizer=quantizer, id_col=id_col,
+        ).select(
+            F.col("query_id").alias("left_id"), F.col("corpus_id").alias("right_id")
+        )
+        return pc_of_pairs(cand, gold)
+
+    try:
+        return find_min_param(evaluate, target_recall, lo=1, hi=n_cells)
+    finally:
+        gold.unpersist()

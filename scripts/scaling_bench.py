@@ -117,8 +117,30 @@ def _write_anchor(n_entities: int, best: dict[int, dict]) -> None:
         + ", ".join(f"{s} {b['stages'][s]:.1f}s" for s in b["stages"]),
     ]
     notes_path = os.path.join(REPO, "BENCH", "NOTES.md")
-    with open(notes_path, "a") as f:
-        f.write("\n".join(lines) + "\n")
+    heading = lines[1]
+    section = "\n".join(lines) + "\n"
+    notes = ""
+    if os.path.exists(notes_path):
+        with open(notes_path) as f:
+            notes = f.read()
+    if heading in notes:
+        # re-run of the same (n_entities, executors) anchor: REPLACE the
+        # section (up to the next heading) instead of accumulating
+        # duplicates that the comparative report re-appends verbatim
+        start = notes.index(heading)
+        nxt = notes.find("\n## ", start + len(heading))
+        end = len(notes) if nxt == -1 else nxt + 1
+        head_part = notes[:start].rstrip("\n")
+        rest = notes[end:].lstrip("\n")
+        notes = (
+            (head_part + "\n" + section if head_part else section.lstrip("\n"))
+            + ("\n" + rest if rest else "")
+        )
+        with open(notes_path, "w") as f:
+            f.write(notes)
+    else:
+        with open(notes_path, "a") as f:
+            f.write(section)
     print(
         json.dumps(
             {

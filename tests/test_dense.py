@@ -18,7 +18,10 @@ recall-limited.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -68,8 +71,11 @@ def test_ivfpq_layer_lossless_vs_cells(spark):
     """Gate 2: on the real (structureless) embeddings table the PQ codes +
     ADC + exact re-rank may cost at most 5% recall vs the SAME sampled
     cells scanned uncompressed (knn_ivf, identical seed/nprobe)."""
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):  # ADVICE r4: skip, don't error, off-sandbox
+        pytest.skip("sf0.001 embeddings fixture absent")
     vecs = (
-        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        spark.read.parquet(path)
         .select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
     )
     exact_top = _strict_top5(knn_exact(vecs, vecs, k=5, id_col="vec_id")).cache()

@@ -150,3 +150,68 @@ def test_salt_cap_drops_are_logged(spark, tmp_path):
     assert log == [(1, 8)]  # one over-cap key carrying 8 rows
     m = store.metrics().where(F.col("stage").contains("salt_cap_dropped")).collect()
     assert len(m) == 1 and m[0]["rows"] == 8
+
+
+def test_tune_ivf_nprobe_and_replay_roundtrip(spark, tmp_path):
+    """Round-5 N8 wiring: the tuner derives an IVF operating point
+    in-engine, persists it as a configs.TunedNNPoint, and apply_tuned_nn
+    replays the EXACT candidate set the tuning run certified."""
+    import numpy as np
+
+    from continuousfilteringbenchmark_spark import configs as C
+    from continuousfilteringbenchmark_spark import tuning as T
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(8, 16) * 3.0
+    rows = [
+        (f"v{i:03d}", [float(x) for x in centers[i % 8] + 0.3 * rng.randn(16)])
+        for i in range(200)
+    ]
+    vecs = spark.createDataFrame(
+        rows, "vec_id string, vec array<double>"
+    ).repartition(4).persist()
+    vecs.count()
+
+    nprobe, recall = T.tune_ivf_nprobe(
+        vecs, target_recall=0.8, k=3, n_cells=8, quantizer="sample"
+    )
+    assert 1 <= nprobe <= 8 and recall >= 0.8
+    # minimality: one probe less (if any) must miss the target
+    if nprobe > 1:
+        gold = T.pc_of_pairs  # reuse below
+        from pyspark.sql import functions as F
+
+        from continuousfilteringbenchmark_spark.operators.dense import (
+            knn_exact,
+            knn_ivf,
+        )
+
+        exact = knn_exact(vecs, vecs, k=3, id_col="vec_id").select(
+            F.col("query_id").alias("left_id"), F.col("corpus_id").alias("right_id")
+        )
+        below = knn_ivf(
+            vecs, vecs, k=3, n_cells=8, nprobe=nprobe - 1, quantizer="sample",
+            id_col="vec_id",
+        ).select(
+            F.col("query_id").alias("left_id"), F.col("corpus_id").alias("right_id")
+        )
+        assert gold(below, exact) < 0.8
+
+    point = C.TunedNNPoint(
+        method="knn_ivf", param="nprobe", value=nprobe,
+        target_recall=0.8, achieved_recall=recall,
+        fixed={"k": 3, "n_cells": 8, "seed": 42, "quantizer": "sample"},
+    )
+    path = str(tmp_path / "point.json")
+    C.save_tuned_nn(point, path)
+    loaded = C.load_tuned_nn(path)
+    assert loaded == point
+    replay = C.apply_tuned_nn(loaded, vecs)
+    direct = __import__(
+        "continuousfilteringbenchmark_spark.operators.dense", fromlist=["knn_ivf"]
+    ).knn_ivf(
+        vecs, vecs, k=3, n_cells=8, nprobe=nprobe, quantizer="sample",
+        id_col="vec_id",
+    )
+    assert sorted(map(tuple, replay.collect())) == sorted(map(tuple, direct.collect()))
+    vecs.unpersist()

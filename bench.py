@@ -40,6 +40,9 @@ BENCH_QUERIES = [
     "simhash_dedup",
     "minhash_dedup",
     "corpus_curation",
+    # round 5: the bucket-grid scale engine over the clean-clean chain —
+    # benched because it IS the over-broadcast-cap production path
+    "bucketed_scoring",
     "knn_ivf_approx",
     "knn_ivfpq",
     "range_search_lsh",

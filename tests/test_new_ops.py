@@ -121,7 +121,14 @@ def test_stage_store_resume_and_metrics(spark, tmp_path, dirty):
     # metrics: one table with a row per (stage, partition), wall_ms recorded
     m = store.metrics()
     stages = {r.stage for r in m.select("stage").distinct().collect()}
-    assert stages == {"tokened", "blocks", "candidate_pairs", "matches", "clusters"}
+    assert stages == {
+        "tokened",
+        "token_buckets",  # r5: write-time bucket(doc_id) co-location stage
+        "blocks",
+        "candidate_pairs",
+        "matches",
+        "clusters",
+    }
     assert m.where(F.col("rows") < 0).count() == 0
 
     # resume: drop the final stage marker, re-run -> earlier stages are read

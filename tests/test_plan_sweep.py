@@ -62,6 +62,7 @@ SCALAR_JOIN_OK = {
     "qgrams_workflow",  # WEP inside the composed workflow
     "blocking_quality",  # PC/PQ scalars joined into one row
     "tuned_workflow",  # registry-decoded pruner may be WEP
+    "tuned_dirty_workflow",  # WEP global mean + tp/n_cand/n_gold scalar row joins
     "clean_clean_er",  # composed pipeline: purging cutoff scalar
     "er_clusters",
     "jedai_workflow",

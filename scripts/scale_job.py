@@ -43,6 +43,7 @@ def main() -> None:
         # spark.local.dir (Spark warns and ignores the conf) — export it so
         # the executors actually shuffle on tmpfs
         os.environ["SPARK_LOCAL_DIRS"] = local_dir
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         spark = get_spark(
             "scale_job",
             shuffle_partitions=cpus * 2,
@@ -50,6 +51,14 @@ def main() -> None:
             extra_conf={
                 "spark.executor.memory": "3g",
                 "spark.local.dir": local_dir,
+                # the local-cluster stand-in for `spark-submit --py-files`:
+                # executor python workers must import the package for the
+                # pandas-UDF closures (scoring kernels) pickled by reference
+                "spark.executorEnv.PYTHONPATH": repo_root,
+                # reap out-of-scope shuffle files mid-job: the pair-distinct
+                # shuffle alone is tens of GB at >=1M entities and this
+                # sandbox has ~80 GB of scratch
+                "spark.cleaner.periodicGC.interval": "2min",
                 # knob for shuffle-compression experiments (tmpfs shuffle
                 # dirs make compression a pure-CPU tradeoff); measured both
                 # ways on this host — ON (the production default) wins
@@ -118,7 +127,11 @@ def main() -> None:
     filtered = B.block_filtering(purged, 0.5, clean_clean=False).persist()
     stage("blocking", filtered)
 
-    pairs = B.pairs_from_blocks(filtered, clean_clean=False).persist()
+    # NOT persisted: the count below materializes the distinct's shuffle
+    # files, and scoring's re-read reuses those same shuffle outputs — a
+    # persist would spill a second full copy of the pair table to the same
+    # scratch disk (measured ~25 GB extra at 1M entities) for zero saved work
+    pairs = B.pairs_from_blocks(filtered, clean_clean=False)
     t0 = time.perf_counter()
     counts["candidate_pairs"] = pairs.count()
     timings["candidate_pairs"] = round(time.perf_counter() - t0, 3)
@@ -164,11 +177,6 @@ def main() -> None:
     t0 = time.perf_counter()
     counts["matches"] = matches.count()
     timings["scoring"] = round(time.perf_counter() - t0, 3)
-    # pairs (potentially 1e8+ rows) is fully consumed once matches is
-    # materialized; freeing it keeps the big corpora from evicting the
-    # (small) matches cache, which would silently re-run scoring inside
-    # the clustering timer
-    pairs.unpersist()
     filtered.unpersist()
 
     t0 = time.perf_counter()

@@ -91,3 +91,19 @@ def test_kernel_chunking(spark, store):
     base = _rows(BK.score_pairs_bucketed(pairs, path, min_score=0.5))
     tiny = BK.score_pairs_bucketed(pairs, path, min_score=0.5, kernel_chunk=7)
     assert _rows(tiny) == base
+
+
+def test_score_pairs_dispatch_and_guard(spark, store):
+    """The public score_pairs entry dispatches engine='bucketed' to the
+    grid scorer (same rows as calling it directly) and refuses the engine
+    without a bucket_path."""
+    tokened, path, pairs_path = store
+    pairs = spark.read.parquet(pairs_path)
+    via_api = score_pairs(
+        pairs, tokened, "jaccard", engine="bucketed",
+        bucket_path=path, min_score=0.5,
+    )
+    direct = BK.score_pairs_bucketed(pairs, path, "jaccard", min_score=0.5)
+    assert _rows(via_api) == _rows(direct)
+    with pytest.raises(ValueError, match="bucket_path"):
+        score_pairs(pairs, tokened, engine="bucketed")
